@@ -1,0 +1,226 @@
+"""Unified dataclass config tree.
+
+The reference scatters configuration across module constants, Modal decorator
+kwargs, CLI entrypoints, and per-request JSON (SURVEY.md §5.6). Here one
+dataclass tree serves all four roles; CLI/JSON overrides map onto fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+from tts_inference_tpu import protocol
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Llama-style decoder config (HF `LlamaConfig` field-compatible).
+
+    Defaults are Orpheus-3B = Llama-3.2-3B with the audio-extended vocab
+    (128256 base + 10 specials + 28672 audio + pad → 156940).
+    """
+
+    vocab_size: int = 156940
+    hidden_size: int = 3072
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 24
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    # Llama-3 rope scaling (HF rope_scaling{rope_type="llama3"}); None disables.
+    rope_scaling_factor: Optional[float] = 32.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+    max_position_embeddings: int = 131072
+    tie_word_embeddings: bool = True
+    dtype: str = "bfloat16"
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "ModelConfig":
+        """A small config for tests (CPU-fast, same code paths)."""
+        return cls(
+            vocab_size=vocab_size,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            rope_scaling_factor=None,
+            max_position_embeddings=512,
+            dtype="float32",
+        )
+
+    @classmethod
+    def from_hf_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        rs = d.get("rope_scaling") or {}
+        is_llama3 = rs.get("rope_type", rs.get("type")) == "llama3"
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d.get(
+                "num_key_value_heads", d["num_attention_heads"]
+            ),
+            head_dim=d.get(
+                "head_dim", d["hidden_size"] // d["num_attention_heads"]
+            ),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            rope_scaling_factor=rs.get("factor") if is_llama3 else None,
+            rope_low_freq_factor=rs.get("low_freq_factor", 1.0),
+            rope_high_freq_factor=rs.get("high_freq_factor", 4.0),
+            rope_original_max_position=rs.get(
+                "original_max_position_embeddings", 8192
+            ),
+            max_position_embeddings=d.get("max_position_embeddings", 131072),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SnacConfig:
+    """SNAC 24 kHz decoder config (hubertsiuzdak/snac_24khz geometry).
+
+    decoder_rates [8,8,4,2] × hop → 512 samples per latent step; vq_strides
+    [4,2,1] → one 7-code TTS frame = 4 latent steps = 2048 samples.
+    """
+
+    sampling_rate: int = 24000
+    latent_dim: int = 1024           # encoder_dim 64 * 2**len(encoder_rates)
+    decoder_dim: int = 1536
+    decoder_rates: Tuple[int, ...] = (8, 8, 4, 2)
+    codebook_size: int = 4096
+    codebook_dim: int = 8
+    vq_strides: Tuple[int, ...] = (4, 2, 1)
+    noise: bool = True
+    depthwise: bool = True
+    dtype: str = "float32"
+
+    @property
+    def hop_length(self) -> int:
+        h = 1
+        for r in self.decoder_rates:
+            h *= r
+        return h  # 512
+
+    @property
+    def samples_per_frame(self) -> int:
+        return self.hop_length * max(self.vq_strides)  # 2048
+
+    @classmethod
+    def tiny(cls) -> "SnacConfig":
+        return cls(
+            latent_dim=32,
+            decoder_dim=64,
+            decoder_rates=(8, 8, 4, 2),
+            codebook_size=64,
+            codebook_dim=4,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Per-request sampling knobs (reference: inference.py:209-217)."""
+
+    temperature: float = protocol.DEFAULT_TEMPERATURE
+    top_p: float = protocol.DEFAULT_TOP_P
+    repetition_penalty: float = protocol.DEFAULT_REPETITION_PENALTY
+    max_tokens: int = protocol.DEFAULT_MAX_TOKENS
+    top_k: int = 0          # 0 = disabled; >0 caps candidate set
+    greedy: bool = False    # temp=0/top_k=1 parity mode (debug_tokens.py)
+    seed: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Generation-engine config: bucketing, batching, cache geometry.
+
+    Bucketed static shapes are the XLA analog of the reference's TRT
+    BuildConfig(max_input_len=512, max_seq_len=…) (build_engine.py:133-138).
+    """
+
+    max_input_len: int = 512
+    max_output_len: int = 4096
+    max_batch_size: int = 8          # continuous-batching slots
+    prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+    decode_steps_per_call: int = protocol.FRAME_SIZE  # host sync cadence
+    kv_page_size: int = 128          # tokens per KV page (future paged attn)
+    compilation_cache_dir: Optional[str] = None
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.max_input_len + self.max_output_len
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    """Streaming orchestration (reference: PIPELINE_REPORT.md:496-519)."""
+
+    frames_per_chunk: int = 5
+    lookahead_frames: int = protocol.DEFAULT_LOOKAHEAD_FRAMES
+    # Left context for windowed re-decode. The reference re-decodes from
+    # frame 0 every chunk (O(n²)); we decode a bounded window whose margin
+    # covers the vocoder receptive field, making streaming O(n) and
+    # sample-exact vs batch decode (SURVEY.md §7.3).
+    left_context_frames: int = 16
+    extraction: str = "first_sos"    # or "last_sos"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes for pjit sharding (SURVEY.md §5.8)."""
+
+    dp: int = 1     # data parallel (replica) axis
+    tp: int = 1     # tensor parallel axis (heads / ffn sharding over ICI)
+
+    @property
+    def num_devices(self) -> int:
+        return self.dp * self.tp
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    host: str = "0.0.0.0"
+    port: int = 8000
+    max_concurrent_streams: int = 8
+    default_voice: str = "tara"
+    request_timeout_s: float = 300.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    snac: SnacConfig = dataclasses.field(default_factory=SnacConfig)
+    sampling: SamplingConfig = dataclasses.field(default_factory=SamplingConfig)
+    engine: EngineConfig = dataclasses.field(default_factory=EngineConfig)
+    stream: StreamConfig = dataclasses.field(default_factory=StreamConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+
+def tiny_config() -> Config:
+    """Full-stack tiny config used by the test suite."""
+    return Config(
+        model=ModelConfig.tiny(),
+        snac=SnacConfig.tiny(),
+        engine=EngineConfig(
+            max_input_len=64,
+            max_output_len=256,
+            max_batch_size=4,
+            prefill_buckets=(16, 32, 64),
+        ),
+    )
