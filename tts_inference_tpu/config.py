@@ -94,8 +94,8 @@ class SnacConfig:
     """
 
     sampling_rate: int = 24000
-    latent_dim: int = 1024           # encoder_dim 64 * 2**len(encoder_rates)
-    decoder_dim: int = 1536
+    latent_dim: int = 768            # encoder_dim 48 * 2**len(encoder_rates)
+    decoder_dim: int = 1024
     decoder_rates: Tuple[int, ...] = (8, 8, 4, 2)
     codebook_size: int = 4096
     codebook_dim: int = 8
