@@ -1,0 +1,311 @@
+"""Llama-3.2-style causal decoder (the Orpheus-3B body) in pure JAX.
+
+The reference consumes this model through third-party engines (TRT-LLM
+`build_engine.py:141-150`, vLLM `modal_audio_stream.py:217-232`, HF eager in
+`helpers/compare_snac.py:236-246`). This is the first-party TPU-native
+implementation: pure functions over a params pytree, feature-last matmuls
+(`x @ w`, MXU-friendly), fp32 softmax/normalization islands inside a bf16
+graph, and a dense slotted KV cache with per-slot lengths designed for
+continuous batching and pjit TP sharding (heads axis shardable).
+
+Checkpoint import: `loader.llama_params_from_hf_state` (HF safetensors →
+this pytree, LoRA merged in weight space).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_inference_tpu.config import ModelConfig
+
+Params = Dict
+
+
+def param_dtype(cfg: ModelConfig):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+            "float16": jnp.float16}[cfg.dtype]
+
+
+# ---------------------------------------------------------------------------
+# Init (random weights; HF import lives in loader.py)
+# ---------------------------------------------------------------------------
+
+
+def init_llama_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    dt = param_dtype(cfg)
+    h, ffn = cfg.hidden_size, cfg.intermediate_size
+    hd, nq, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+
+    def dense(k, shape):
+        scale = 1.0 / math.sqrt(shape[0])
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dt)
+
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        ks = jax.random.split(keys[i], 7)
+        layers.append(
+            {
+                "input_norm": jnp.ones((h,), dt),
+                "post_attn_norm": jnp.ones((h,), dt),
+                "wq": dense(ks[0], (h, nq * hd)),
+                "wk": dense(ks[1], (h, nkv * hd)),
+                "wv": dense(ks[2], (h, nkv * hd)),
+                "wo": dense(ks[3], (nq * hd, h)),
+                "w_gate": dense(ks[4], (h, ffn)),
+                "w_up": dense(ks[5], (h, ffn)),
+                "w_down": dense(ks[6], (ffn, h)),
+            }
+        )
+    p = {
+        "embed": (jax.random.normal(keys[-3], (cfg.vocab_size, h), jnp.float32)
+                  * 0.02).astype(dt),
+        "final_norm": jnp.ones((h,), dt),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = dense(keys[-2], (h, cfg.vocab_size))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_inv_freq(cfg: ModelConfig) -> np.ndarray:
+    """Inverse frequencies, with HF "llama3" rope scaling when configured."""
+    d = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, d, 2, dtype=np.float64) / d))
+    if cfg.rope_scaling_factor is None:
+        return inv.astype(np.float32)
+    factor = cfg.rope_scaling_factor
+    lo_f, hi_f = cfg.rope_low_freq_factor, cfg.rope_high_freq_factor
+    orig = cfg.rope_original_max_position
+    low_wl = orig / lo_f
+    high_wl = orig / hi_f
+    wavelen = 2 * np.pi / inv
+    scaled = np.where(wavelen > low_wl, inv / factor, inv)
+    smooth = (orig / wavelen - lo_f) / (hi_f - lo_f)
+    mid = (1 - smooth) * inv / factor + smooth * inv
+    is_mid = (wavelen >= high_wl) & (wavelen <= low_wl)
+    return np.where(is_mid, mid, scaled).astype(np.float32)
+
+
+def rope_tables(
+    cfg: ModelConfig, positions: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions (…,) int32 → cos/sin tables (…, head_dim/2) fp32."""
+    inv = jnp.asarray(rope_inv_freq(cfg))
+    ang = positions.astype(jnp.float32)[..., None] * inv
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate pairs (HF convention: halves, not interleaved).
+
+    x: (B, S, H, D); cos/sin: (B, S, D/2) → broadcast over heads.
+    """
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    c = cos[:, :, None, :].astype(jnp.float32)
+    s = sin[:, :, None, :].astype(jnp.float32)
+    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate([x1f * c - x2f * s, x2f * c + x1f * s], axis=-1)
+    return out.astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    """Dense slotted KV cache.
+
+    k/v: (layers, batch, max_seq, kv_heads, head_dim) — batch is the
+    continuous-batching slot axis; kv_heads shardable over TP.
+    lengths: (batch,) int32 — tokens currently valid per slot.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    lengths: jnp.ndarray
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, max_seq: int, dtype=None
+) -> KVCache:
+    dt = dtype or param_dtype(cfg)
+    shape = (cfg.num_hidden_layers, batch, max_seq,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dt),
+        v=jnp.zeros(shape, dt),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """(B, S, Hkv, D) → (B, S, Hkv*n_rep, D) for GQA."""
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(
+        x[:, :, :, None, :], (b, s, h, n_rep, d)
+    ).reshape(b, s, h * n_rep, d)
+
+
+def _attention(
+    q: jnp.ndarray,      # (B, Sq, Hq, D)
+    k: jnp.ndarray,      # (B, Skv, Hkv, D)
+    v: jnp.ndarray,      # (B, Skv, Hkv, D)
+    mask: jnp.ndarray,   # (B, Sq, Skv) bool — True = attend
+) -> jnp.ndarray:
+    n_rep = q.shape[2] // k.shape[2]
+    k = _repeat_kv(k, n_rep)
+    v = _repeat_kv(v, n_rep)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _layer(
+    lp: Params,
+    cfg: ModelConfig,
+    x: jnp.ndarray,              # (B, S, H)
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache_k: jnp.ndarray,        # (B, max_seq, Hkv, D)
+    cache_v: jnp.ndarray,
+    write_pos: jnp.ndarray,      # (B,) int32 — where this chunk starts
+    mask: jnp.ndarray,           # (B, S, max_seq)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    b, s, _ = x.shape
+    hd, nq, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+    q = (h @ lp["wq"]).reshape(b, s, nq, hd)
+    k = (h @ lp["wk"]).reshape(b, s, nkv, hd)
+    v = (h @ lp["wv"]).reshape(b, s, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    # scatter this chunk into the cache at per-slot write_pos
+    def write(c, new):
+        def one(cb, nb, p):
+            return jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
+        return jax.vmap(one)(c, new, write_pos)
+
+    cache_k = write(cache_k, k.astype(cache_k.dtype))
+    cache_v = write(cache_v, v.astype(cache_v.dtype))
+
+    attn = _attention(q, cache_k, cache_v, mask)
+    attn = attn.reshape(b, s, nq * hd)
+    x = x + attn @ lp["wo"]
+
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + (gate * (h @ lp["w_up"])) @ lp["w_down"]
+    return x, cache_k, cache_v
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,         # (B, S) int32
+    cache: KVCache,
+    write_pos: jnp.ndarray,      # (B,) int32 — chunk start per slot
+    seg_lens: jnp.ndarray,       # (B,) int32 — valid tokens in this chunk
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Process a token chunk against the cache; returns (logits, new cache).
+
+    Serves both prefill (S = padded prompt bucket, write_pos = 0) and decode
+    (S = 1..n). Positions are write_pos + arange(S); attention allows
+    kv slot j for query position p iff j <= p and j < write_pos + seg_len
+    (causal + per-slot validity). Padded query rows produce garbage logits
+    that the caller ignores; their cache writes land beyond the advancing
+    length and are overwritten or masked later.
+    """
+    b, s = tokens.shape
+    max_seq = cache.k.shape[2]
+
+    positions = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    cos, sin = rope_tables(cfg, positions)
+
+    kv_idx = jnp.arange(max_seq, dtype=jnp.int32)
+    mask = kv_idx[None, None, :] <= positions[:, :, None]
+
+    x = params["embed"][tokens].astype(param_dtype(cfg))
+
+    new_k, new_v = [], []
+    for li, lp in enumerate(params["layers"]):
+        x, ck, cv = _layer(
+            lp, cfg, x, cos, sin,
+            cache.k[li], cache.v[li], write_pos, mask,
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.einsum(
+            "bsh,vh->bsv", x, params["embed"],
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = jnp.einsum(
+            "bsh,hv->bsv", x, params["lm_head"],
+            preferred_element_type=jnp.float32,
+        )
+
+    new_cache = KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        lengths=jnp.maximum(cache.lengths, write_pos + seg_lens),
+    )
+    return logits, new_cache
+
+
+def prefill(
+    params: Params,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,      # (B, S) right-padded prompt bucket
+    prompt_lens: jnp.ndarray,  # (B,)
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill the cache; returns (last-valid-position logits (B, V), cache)."""
+    zero = jnp.zeros_like(prompt_lens)
+    logits, cache = forward(params, cfg, tokens, cache, zero, prompt_lens)
+    last = jnp.maximum(prompt_lens - 1, 0)
+    b = tokens.shape[0]
+    last_logits = logits[jnp.arange(b), last]
+    return last_logits, cache
+
+
+def decode_one(
+    params: Params,
+    cfg: ModelConfig,
+    token: jnp.ndarray,       # (B,) int32 — previous token per slot
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step for every slot; returns (logits (B, V), new cache)."""
+    ones = jnp.ones_like(cache.lengths)
+    logits, cache = forward(
+        params, cfg, token[:, None], cache, cache.lengths, ones
+    )
+    return logits[:, 0], cache
