@@ -64,10 +64,11 @@ def test_prefill_logits_match_hf(pair):
 
     cache = jllama.init_kv_cache(TINY, batch=2, max_seq=32, dtype=jnp.float32)
     lens = jnp.array([17, 17], jnp.int32)
-    logits, cache = jllama.forward(
+    hidden, cache = jllama.forward(
         params, TINY, jnp.asarray(tokens), cache,
         jnp.zeros(2, jnp.int32), lens,
     )
+    logits = jllama.compute_logits(params, TINY, hidden)
     np.testing.assert_allclose(np.asarray(logits), want, atol=2e-4, rtol=1e-3)
     assert np.asarray(cache.lengths).tolist() == [17, 17]
 
@@ -164,10 +165,11 @@ def test_llama3_rope_scaling_matches_hf():
     toks = rng.integers(0, cfg.vocab_size, size=(1, 80)).astype(np.int32)
     want = hf_logits(model, toks)
     cache = jllama.init_kv_cache(cfg, batch=1, max_seq=96, dtype=jnp.float32)
-    logits, _ = jllama.forward(
+    hidden, _ = jllama.forward(
         params, cfg, jnp.asarray(toks), cache,
         jnp.zeros(1, jnp.int32), jnp.array([80], jnp.int32),
     )
+    logits = jllama.compute_logits(params, cfg, hidden)
     np.testing.assert_allclose(np.asarray(logits), want, atol=5e-4, rtol=2e-3)
 
 
@@ -180,8 +182,9 @@ def test_untied_lm_head():
     toks = rng.integers(0, cfg.vocab_size, size=(1, 6)).astype(np.int32)
     want = hf_logits(model, toks)
     cache = jllama.init_kv_cache(cfg, batch=1, max_seq=16, dtype=jnp.float32)
-    logits, _ = jllama.forward(
+    hidden, _ = jllama.forward(
         params, cfg, jnp.asarray(toks), cache,
         jnp.zeros(1, jnp.int32), jnp.array([6], jnp.int32),
     )
+    logits = jllama.compute_logits(params, cfg, hidden)
     np.testing.assert_allclose(np.asarray(logits), want, atol=2e-4, rtol=1e-3)

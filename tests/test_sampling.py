@@ -1,0 +1,126 @@
+"""Sampling-op tests: penalty parity vs HF, nucleus support, determinism."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tts_inference_tpu.config import SamplingConfig
+from tts_inference_tpu.ops import sampling as S
+
+
+def make_state(batch=2, vocab=16, seed=0):
+    return S.init_sampling_state(batch, vocab, seed)
+
+
+def test_greedy_is_argmax():
+    logits = jnp.asarray(np.random.default_rng(0).normal(size=(3, 32)), jnp.float32)
+    params = S.SamplingParams.from_config(SamplingConfig(greedy=True), 3)
+    toks, _ = S.sample(logits, params, make_state(3, 32))
+    np.testing.assert_array_equal(np.asarray(toks), np.argmax(np.asarray(logits), -1))
+
+
+def test_repetition_penalty_matches_hf():
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 24)).astype(np.float32)
+    seen = [[1, 5, 7], [0, 2]]
+
+    proc = transformers.RepetitionPenaltyLogitsProcessor(penalty=1.1)
+    want = np.stack([
+        proc(torch.tensor([ids]), torch.from_numpy(logits[i : i + 1]))[0].numpy()
+        for i, ids in enumerate(seen)
+    ])
+
+    presence = np.zeros((2, 24), bool)
+    for i, ids in enumerate(seen):
+        presence[i, ids] = True
+    got = S.apply_repetition_penalty(
+        jnp.asarray(logits), jnp.asarray(presence), jnp.full((2,), 1.1)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_top_p_restricts_support():
+    # distribution: one dominant token (p≈0.97) + tail → top_p=0.9 keeps only it
+    logits = np.full((1, 10), 0.0, np.float32)
+    logits[0, 3] = 8.0
+    masked = S.top_p_mask(jnp.asarray(logits), jnp.array([0.9]))
+    m = np.asarray(masked)
+    assert m[0, 3] == 8.0
+    assert (m[0, np.arange(10) != 3] <= S.NEG_INF).all()
+
+
+def test_top_p_keeps_nucleus():
+    # 4 tokens at p=0.25 each: top_p=0.6 keeps tokens until cum >= 0.6 → 3 kept
+    logits = np.log(np.full((1, 4), 0.25, np.float32))
+    m = np.asarray(S.top_p_mask(jnp.asarray(logits), jnp.array([0.6])))
+    assert (m > S.NEG_INF).sum() == 3
+
+
+def test_top_k_mask():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
+    m = np.asarray(S.top_k_mask(logits, jnp.array([2], jnp.int32)))
+    assert (m > S.NEG_INF).sum() == 2
+    assert m[0, 1] == 5.0 and m[0, 4] == 4.0
+    # k=0 disables
+    m0 = np.asarray(S.top_k_mask(logits, jnp.array([0], jnp.int32)))
+    assert (m0 > S.NEG_INF).all()
+
+
+def test_sampling_respects_nucleus_statistically():
+    rng = np.random.default_rng(2)
+    logits = np.zeros((1, 8), np.float32)
+    logits[0, :2] = 10.0  # two dominant tokens share ~all mass
+    params = S.SamplingParams(
+        temperature=jnp.array([1.0]),
+        top_p=jnp.array([0.95]),
+        top_k=jnp.array([0], jnp.int32),
+        repetition_penalty=jnp.array([1.0]),
+        allowed_min=jnp.array([0], jnp.int32),
+        allowed_max=jnp.array([0], jnp.int32),
+    )
+    state = make_state(1, 8, seed=3)
+    seen = set()
+    for _ in range(50):
+        tok, state = S.sample(jnp.asarray(logits), params, state)
+        seen.add(int(tok[0]))
+    assert seen <= {0, 1} and len(seen) == 2
+
+
+def test_deterministic_given_state():
+    logits = jnp.asarray(
+        np.random.default_rng(4).normal(size=(2, 32)), jnp.float32
+    )
+    params = S.SamplingParams.from_config(SamplingConfig(), 2)
+    t1, _ = S.sample(logits, params, make_state(2, 32, seed=9))
+    t2, _ = S.sample(logits, params, make_state(2, 32, seed=9))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_mark_prompt_and_presence_updates():
+    state = make_state(2, 16)
+    toks = jnp.asarray([[1, 2, 3, 0], [4, 5, 0, 0]], jnp.int32)
+    state = S.mark_prompt(state, toks, jnp.asarray([3, 2], jnp.int32))
+    p = np.asarray(state.presence)
+    assert p[0, [1, 2, 3]].all() and not p[0, 0]  # pad position not marked
+    assert p[1, [4, 5]].all() and not p[1, 0]
+    tok, state = S.sample(
+        jnp.asarray(np.eye(16, dtype=np.float32)[[7, 8]] * 10),
+        S.SamplingParams.from_config(SamplingConfig(greedy=True), 2),
+        state,
+    )
+    p = np.asarray(state.presence)
+    assert p[0, 7] and p[1, 8]
+
+
+def test_sample_jits():
+    logits = jnp.asarray(np.random.default_rng(5).normal(size=(4, 64)), jnp.float32)
+    params = S.SamplingParams.from_config(SamplingConfig(), 4)
+    state = make_state(4, 64)
+    jitted = jax.jit(S.sample)
+    t1, s1 = jitted(logits, params, state)
+    t2, _ = S.sample(logits, params, state)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

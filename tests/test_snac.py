@@ -105,9 +105,9 @@ def test_pcm16():
 
 
 def test_decoder_wrapper_buckets(torch_and_jax):
-    """Bucket padding only perturbs samples within the vocoder's influence
-    reach (±2.29 frames, measured below) of the pad boundary — interior
-    samples are bit-comparable across bucket sizes."""
+    """Bucket padding must not change the audio AT ALL: the content-length
+    mask makes the pad zone behave like a true sequence end, so decodes at
+    different buckets are equal on every content sample."""
     _, params = torch_and_jax
     dec = jsnac.SnacDecoder(params, TINY, frame_buckets=(8, 16))
     rng = np.random.default_rng(5)
@@ -115,11 +115,14 @@ def test_decoder_wrapper_buckets(torch_and_jax):
     out = dec.decode_frames(codes[0][0], codes[1][0], codes[2][0])
     spf = TINY.samples_per_frame
     assert out.shape == (6 * spf,)
-    # same content decoded at bucket 16: samples ≥3 frames left of the
-    # respective pad boundaries must agree to float tolerance
     dec2 = jsnac.SnacDecoder(params, TINY, frame_buckets=(16,))
     out2 = dec2.decode_frames(codes[0][0], codes[1][0], codes[2][0])
-    np.testing.assert_allclose(out[: 3 * spf], out2[: 3 * spf], atol=1e-5)
+    np.testing.assert_allclose(out, out2, atol=1e-5)
+    # and equals the truly unpadded decode
+    full = np.asarray(jsnac.decode_codes(
+        params, TINY, [c for c in codes], noise_seed=0
+    ))[0]
+    np.testing.assert_allclose(out, full, atol=1e-5)
 
 
 def test_receptive_field_bounded(torch_and_jax):

@@ -1,0 +1,175 @@
+"""CLI entry points.
+
+Covers the reference's local entrypoints:
+- `generate`    — text → WAV (reference: `modal run tensorrt_tts/inference.py
+                  --text … --output …`, SURVEY.md §3.2)
+- `aot-compile` — warm/pin the XLA compilation cache + build_info.json
+                  (reference: `build_engine.py` engine build, §3.3)
+- `serve`       — FastAPI WS/HTTP server (reference: `modal serve
+                  vllm_inference/modal_audio_stream.py`, §3.1)
+- `dump-tokens` — raw token stream for a prompt (reference: `/dump-tokens`)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_runtime_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--model-path", help="HF checkpoint dir (safetensors)")
+    p.add_argument("--snac-path", help="SNAC checkpoint dir")
+    p.add_argument("--lora-path", help="LoRA adapter dir to merge at load")
+    p.add_argument("--tokenizer-path", help="tokenizer dir (defaults to model)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random-weight runtime (no assets needed)")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compile-cache", help="persistent XLA compile cache dir")
+    p.add_argument("--no-warmup", action="store_true")
+
+
+def _build_runtime(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from tts_inference_tpu.config import Config, tiny_config
+    from tts_inference_tpu.runtime import Runtime
+
+    cfg = tiny_config() if args.tiny else Config()
+    if args.compile_cache:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, engine=dataclasses.replace(
+                cfg.engine, compilation_cache_dir=args.compile_cache
+            )
+        )
+    return Runtime.create(
+        cfg,
+        model_path=args.model_path,
+        snac_path=args.snac_path,
+        lora_path=args.lora_path,
+        tokenizer_path=args.tokenizer_path,
+        seed=args.seed,
+        warmup=not args.no_warmup,
+    )
+
+
+def cmd_generate(args) -> int:
+    from tts_inference_tpu.config import SamplingConfig
+    from tts_inference_tpu.utils.audio import duration_s, write_wav
+
+    from tts_inference_tpu import protocol
+
+    rt = _build_runtime(args)
+    sampling = SamplingConfig(
+        temperature=args.temperature, top_p=args.top_p,
+        repetition_penalty=args.repetition_penalty,
+        max_tokens=args.max_tokens, greedy=args.greedy, seed=args.seed,
+        token_range=(
+            (protocol.TOKEN_AUDIO_BASE,
+             protocol.TOKEN_AUDIO_BASE + protocol.AUDIO_VOCAB)
+            if args.audio_only else None
+        ),
+    )
+    t0 = time.perf_counter()
+    pcm, metrics = rt.pipeline.synthesize(
+        args.text, args.voice, sampling, force_speech=args.force_speech
+    )
+    wall = time.perf_counter() - t0
+    write_wav(args.output, pcm)
+    print(json.dumps({
+        "output": args.output,
+        "audio_duration_s": round(duration_s(pcm), 3),
+        "wall_s": round(wall, 3),
+        "ttfa_ms": round(metrics.ttfa_ms, 1),
+        "ttft_ms": round(metrics.ttft_ms, 1),
+        "tokens": metrics.tokens,
+        "tokens_per_sec": round(metrics.tokens_per_sec, 1),
+        "rtf": round(metrics.rtf, 3),
+        "chunks": metrics.chunks,
+    }))
+    return 0
+
+
+def cmd_dump_tokens(args) -> int:
+    from tts_inference_tpu.config import SamplingConfig
+
+    rt = _build_runtime(args)
+    prompt = rt.pipeline.build_prompt(args.text, args.voice)
+    res = rt.engine.generate(
+        prompt, SamplingConfig(max_tokens=args.max_tokens, seed=args.seed)
+    )
+    print(json.dumps({"prompt_ids": prompt, "token_ids": res.token_ids,
+                      "timings": res.timings}))
+    return 0
+
+
+def cmd_aot_compile(args) -> int:
+    rt = _build_runtime(args)
+    rt.write_build_info(args.build_info)
+    print(json.dumps({"build_info": args.build_info,
+                      "timings": rt.load_timings}))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    import uvicorn
+
+    from tts_inference_tpu.serving.app import create_app
+
+    rt = _build_runtime(args)
+    app = create_app(rt)
+    uvicorn.run(app, host=args.host, port=args.port, log_level="info")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tts_inference_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="text → WAV")
+    _add_runtime_args(g)
+    g.add_argument("--text", required=True)
+    g.add_argument("--voice", default="tara")
+    g.add_argument("--output", default="output.wav")
+    g.add_argument("--temperature", type=float, default=0.6)
+    g.add_argument("--top-p", type=float, default=0.95)
+    g.add_argument("--repetition-penalty", type=float, default=1.1)
+    g.add_argument("--max-tokens", type=int, default=1200)
+    g.add_argument("--greedy", action="store_true")
+    g.add_argument("--force-speech", action="store_true",
+                   help="append [DELIMITER, SOS] to the prompt (forces "
+                        "immediate speech; needed with random weights)")
+    g.add_argument("--audio-only", action="store_true",
+                   help="constrain sampling to the audio token range")
+    g.set_defaults(fn=cmd_generate)
+
+    d = sub.add_parser("dump-tokens", help="raw LM token stream")
+    _add_runtime_args(d)
+    d.add_argument("--text", required=True)
+    d.add_argument("--voice", default="tara")
+    d.add_argument("--max-tokens", type=int, default=256)
+    d.set_defaults(fn=cmd_dump_tokens)
+
+    a = sub.add_parser("aot-compile", help="warm the XLA compile cache")
+    _add_runtime_args(a)
+    a.add_argument("--build-info", default="build_info.json")
+    a.set_defaults(fn=cmd_aot_compile)
+
+    s = sub.add_parser("serve", help="FastAPI WS/HTTP server")
+    _add_runtime_args(s)
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8000)
+    s.set_defaults(fn=cmd_serve)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -137,6 +137,9 @@ class SamplingConfig:
     top_k: int = 0          # 0 = disabled; >0 caps candidate set
     greedy: bool = False    # temp=0/top_k=1 parity mode (debug_tokens.py)
     seed: Optional[int] = None
+    # Constrain sampling to token ids in [lo, hi) — audio-tokens-only mode
+    # guarantees valid SNAC codes (structured decoding; None = off).
+    token_range: Optional[Tuple[int, int]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,10 +216,16 @@ class Config:
 
 
 def tiny_config() -> Config:
-    """Full-stack tiny config used by the test suite."""
+    """Full-stack tiny config used by the test suite and CLI --tiny.
+
+    Uses the REAL Orpheus vocab (so protocol special tokens and the audio
+    token range are genuine ids) over a tiny transformer + tiny vocoder.
+    """
     return Config(
-        model=ModelConfig.tiny(),
-        snac=SnacConfig.tiny(),
+        model=ModelConfig.tiny(vocab_size=156940),
+        snac=SnacConfig(
+            latent_dim=32, decoder_dim=64, codebook_dim=4,
+        ),
         engine=EngineConfig(
             max_input_len=64,
             max_output_len=256,

@@ -1,0 +1,312 @@
+"""Generation engine: jitted prefill + multi-token scan decode.
+
+The TPU-native replacement for the reference's L1 token engines (vLLM
+`AsyncLLMEngine` at `modal_audio_stream.py:217-232`, TRT-LLM batch
+`tensorrt_tts/inference.py:219-228`, SGLang). Design (SURVEY.md §7.1 step 4):
+
+- **One compiled graph per shape bucket** — prompts are right-padded to
+  `EngineConfig.prefill_buckets`; the decode step is a single fixed-shape
+  graph. This is the XLA analog of the TRT engine's static BuildConfig.
+- **Multi-token decode per host visit** — `decode_steps_per_call` (default 7,
+  one audio frame) tokens are produced inside one jitted `lax.scan`, cutting
+  per-token host round-trips 7× vs the reference's per-token IPC hot loop
+  (`modal_audio_stream.py:307-311`).
+- **Sampling and EOS handling on device** — temperature/top-p/repetition
+  penalty run inside the scan (ops/sampling.py); finished slots freeze
+  (emit EOS, stop advancing their cache length).
+- **Donated buffers** — cache and sampling state are donated to each call so
+  XLA updates them in place (no HBM churn).
+
+The same jitted core drives both the single-stream engine here and the
+continuous-batching scheduler (engine/scheduler.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_inference_tpu import protocol
+from tts_inference_tpu.config import EngineConfig, ModelConfig, SamplingConfig
+from tts_inference_tpu.models import llama
+from tts_inference_tpu.ops import sampling as S
+from tts_inference_tpu.utils.timing import PhaseTimer
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """Mirrors the reference's result dict (`tensorrt_tts/inference.py:265-277`):
+    raw tokens + timing breakdown; audio fields are added by the pipeline."""
+
+    token_ids: List[int]
+    finished: bool
+    timings: dict
+
+
+class EngineCore:
+    """Jitted compute core over a fixed slot batch.
+
+    Host-visible state lives in `self.cache` / `self.sampling_state`; every
+    jitted call donates and replaces them.
+    """
+
+    def __init__(
+        self,
+        params,
+        model_cfg: ModelConfig,
+        engine_cfg: EngineConfig,
+        *,
+        batch_size: Optional[int] = None,
+        eos_id: int = protocol.TOKEN_EOS,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.model_cfg = model_cfg
+        self.engine_cfg = engine_cfg
+        self.eos_id = eos_id
+        self.batch = batch_size or engine_cfg.max_batch_size
+        self.max_seq = engine_cfg.max_seq_len
+
+        self.cache = llama.init_kv_cache(model_cfg, self.batch, self.max_seq)
+        self.sampling_state = S.init_sampling_state(
+            self.batch, model_cfg.vocab_size, seed
+        )
+
+        # --- jitted graphs -------------------------------------------------
+        # after partial-binding model_cfg (and eos_id), arg order is:
+        #   prefill: (params, tokens, lens, cache, sstate, sparams, slot_mask)
+        #   decode:  (n_steps, params, cache, sstate, sparams, last_tok, active)
+        self._prefill = jax.jit(
+            partial(self._prefill_impl, model_cfg),
+            donate_argnums=(3, 4),
+        )
+        self._decode = jax.jit(
+            partial(self._decode_impl, model_cfg, eos_id),
+            static_argnums=(0,),
+            donate_argnums=(2, 3),
+        )
+
+    # -- device code --------------------------------------------------------
+
+    @staticmethod
+    def _prefill_impl(
+        model_cfg, params, tokens, lens, cache, sstate, sparams, slot_mask
+    ):
+        """Prefill `tokens` (B, S bucket) for slots where slot_mask; sample
+        the first generated token. Returns (tok, cache, sstate)."""
+        seg = jnp.where(slot_mask, lens, 0)
+        logits, cache = llama.prefill(params, model_cfg, tokens, seg, cache)
+        sstate = S.mark_prompt(sstate, tokens, seg)
+        tok, sstate = S.sample(logits, sparams, sstate)
+        return tok, cache, sstate
+
+    @staticmethod
+    def _decode_impl(
+        model_cfg, eos_id, n_steps, params, cache, sstate, sparams,
+        last_tok, active,
+    ):
+        """n_steps decode steps under lax.scan. Emits (B, n) tokens."""
+        max_seq = cache.k.shape[2]
+
+        def body(carry, _):
+            cache, sstate, tok, active = carry
+            logits, cache = llama.decode_one(
+                params, model_cfg, tok, cache, active
+            )
+            new_tok, sstate = S.sample(logits, sparams, sstate)
+            new_tok = jnp.where(active, new_tok, eos_id)
+            active = active & (new_tok != eos_id) & (cache.lengths < max_seq - 1)
+            return (cache, sstate, new_tok, active), new_tok
+
+        (cache, sstate, tok, active), toks = jax.lax.scan(
+            body, (cache, sstate, last_tok, active), None, length=n_steps
+        )
+        return toks.T, tok, active, cache, sstate  # toks: (B, n)
+
+    # -- host orchestration ---------------------------------------------------
+
+    def bucket_len(self, n: int) -> int:
+        for b in self.engine_cfg.prefill_buckets:
+            if n <= b:
+                return b
+        return self.engine_cfg.max_input_len
+
+    def reset_slots(self, slots: Sequence[int]) -> None:
+        """Clear cache lengths + sampling presence for reused slots."""
+        idx = jnp.asarray(list(slots), jnp.int32)
+        self.cache = self.cache._replace(
+            lengths=self.cache.lengths.at[idx].set(0)
+        )
+        self.sampling_state = self.sampling_state._replace(
+            presence=self.sampling_state.presence.at[idx].set(False)
+        )
+
+    def seed_slots(self, slots: Sequence[int], seeds: Sequence[int]) -> None:
+        """Reset per-slot PRNG keys (per-request `seed` sampling param)."""
+        idx = jnp.asarray(list(slots), jnp.int32)
+        keys = jnp.stack([
+            jax.random.PRNGKey(int(s)) for s in seeds
+        ])
+        self.sampling_state = self.sampling_state._replace(
+            key=self.sampling_state.key.at[idx].set(keys)
+        )
+
+    def prefill_slots(
+        self,
+        prompts: Sequence[Sequence[int]],
+        slots: Sequence[int],
+        sparams: S.SamplingParams,
+    ) -> np.ndarray:
+        """Prefill the given slots with prompts; returns first tokens (B,).
+
+        Note: prefill runs over the whole slot batch (a fixed-shape graph);
+        inactive slots get seg_len 0 and are untouched.
+        """
+        assert len(prompts) == len(slots)
+        bucket = self.bucket_len(max((len(p) for p in prompts), default=1))
+        tokens = np.zeros((self.batch, bucket), np.int32)
+        lens = np.zeros((self.batch,), np.int32)
+        mask = np.zeros((self.batch,), bool)
+        for p, s in zip(prompts, slots):
+            p = list(p)[:bucket]
+            tokens[s, : len(p)] = p
+            lens[s] = len(p)
+            mask[s] = True
+        self.reset_slots(slots)
+        tok, self.cache, self.sampling_state = self._prefill(
+            self.params, jnp.asarray(tokens), jnp.asarray(lens),
+            self.cache, self.sampling_state, sparams, jnp.asarray(mask),
+        )
+        return np.asarray(tok)
+
+    def decode_steps(
+        self,
+        sparams: S.SamplingParams,
+        last_tok: np.ndarray,
+        active: np.ndarray,
+        n: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Run n decode steps; returns (tokens (B, n), last_tok, active)."""
+        n = n or self.engine_cfg.decode_steps_per_call
+        toks, tok, act, self.cache, self.sampling_state = self._decode(
+            n, self.params, self.cache, self.sampling_state, sparams,
+            jnp.asarray(last_tok, jnp.int32), jnp.asarray(active),
+        )
+        return np.asarray(toks), np.asarray(tok), np.asarray(act)
+
+
+class GenerationEngine:
+    """Single-stream host API over EngineCore (slot 0).
+
+    The reference equivalent is one `llm.generate()` / async-stream call;
+    multi-stream serving uses engine/scheduler.py instead.
+    """
+
+    def __init__(
+        self,
+        params,
+        model_cfg: ModelConfig,
+        engine_cfg: Optional[EngineConfig] = None,
+        *,
+        eos_id: int = protocol.TOKEN_EOS,
+        seed: int = 0,
+    ):
+        self.engine_cfg = engine_cfg or EngineConfig()
+        self.core = EngineCore(
+            params, model_cfg, self.engine_cfg,
+            batch_size=1, eos_id=eos_id, seed=seed,
+        )
+        self.eos_id = eos_id
+
+    def warmup(self, prompt_len: int = 16) -> dict:
+        """Compile prefill (each bucket) + decode — the 'engine build' step
+        (reference: build_engine.py; SURVEY.md §7.1 step 4). Returns timing
+        metadata in the spirit of build_info.json."""
+        t = PhaseTimer()
+        sp = S.SamplingParams.from_config(SamplingConfig(greedy=True), 1)
+        for b in self.engine_cfg.prefill_buckets:
+            with t.phase(f"compile_prefill_{b}"):
+                self.core.prefill_slots([[1] * min(b, prompt_len + b)], [0], sp)
+        with t.phase("compile_decode"):
+            self.core.decode_steps(
+                sp, np.zeros(1, np.int32), np.ones(1, bool)
+            )
+        self.core.reset_slots([0])
+        return t.as_dict()
+
+    def stream(
+        self,
+        prompt_ids: Sequence[int],
+        sampling: Optional[SamplingConfig] = None,
+        *,
+        steps_per_yield: Optional[int] = None,
+    ) -> Iterator[List[int]]:
+        """Yield raw LM token chunks (including SOS/EOS) as they are decoded.
+
+        The SOS/EOS gating belongs to protocol.TokenExtractor downstream —
+        same separation as the reference's generate_audio_tokens →
+        stream_audio split."""
+        sampling = sampling or SamplingConfig()
+        sp = S.SamplingParams.from_config(sampling, 1)
+        core = self.core
+
+        if sampling.seed is not None:
+            core.seed_slots([0], [sampling.seed])
+        first = core.prefill_slots([list(prompt_ids)], [0], sp)
+        tok = first.copy()
+        active = np.array([tok[0] != self.eos_id])
+        produced = 1
+        yield [int(tok[0])]
+        if not active[0]:
+            return
+        max_new = sampling.max_tokens
+        while active[0] and produced < max_new:
+            n = min(
+                steps_per_yield or self.engine_cfg.decode_steps_per_call,
+                max_new - produced,
+            )
+            toks, tok, active = core.decode_steps(sp, tok, active, n)
+            row = toks[0].tolist()
+            # truncate after first EOS
+            if self.eos_id in row:
+                row = row[: row.index(self.eos_id) + 1]
+                active = np.array([False])
+            produced += len(row)
+            yield [int(x) for x in row]
+
+    def generate(
+        self,
+        prompt_ids: Sequence[int],
+        sampling: Optional[SamplingConfig] = None,
+        on_chunk: Optional[Callable[[List[int]], None]] = None,
+    ) -> GenerationResult:
+        """Collect a full generation (the reference's batch `generate` path
+        with its timings dict, `tensorrt_tts/inference.py:176-277`)."""
+        t = PhaseTimer()
+        out: List[int] = []
+        first_tok_ms = None
+        for chunk in self.stream(prompt_ids, sampling):
+            if first_tok_ms is None:
+                first_tok_ms = t.mark("ttft_ms")
+            out.extend(chunk)
+            if on_chunk:
+                on_chunk(chunk)
+        total_ms = t.elapsed_ms()
+        finished = bool(out and out[-1] == self.eos_id)
+        n = len(out)
+        return GenerationResult(
+            token_ids=out,
+            finished=finished,
+            timings={
+                "ttft_ms": first_tok_ms or 0.0,
+                "token_gen_ms": total_ms,
+                "tokens": n,
+                "tokens_per_sec": n / (total_ms / 1000.0) if total_ms else 0.0,
+            },
+        )

@@ -233,7 +233,8 @@ def forward(
     write_pos: jnp.ndarray,      # (B,) int32 — chunk start per slot
     seg_lens: jnp.ndarray,       # (B,) int32 — valid tokens in this chunk
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Process a token chunk against the cache; returns (logits, new cache).
+    """Process a token chunk against the cache; returns (final-norm hidden
+    states (B, S, H), new cache). Project with :func:`compute_logits`.
 
     Serves both prefill (S = padded prompt bucket, write_pos = 0) and decode
     (S = 1..n). Positions are write_pos + arange(S); attention allows
@@ -263,22 +264,31 @@ def forward(
         new_v.append(cv)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings or "lm_head" not in params:
-        logits = jnp.einsum(
-            "bsh,vh->bsv", x, params["embed"],
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        logits = jnp.einsum(
-            "bsh,hv->bsv", x, params["lm_head"],
-            preferred_element_type=jnp.float32,
-        )
 
     new_cache = KVCache(
         k=jnp.stack(new_k), v=jnp.stack(new_v),
         lengths=jnp.maximum(cache.lengths, write_pos + seg_lens),
     )
-    return logits, new_cache
+    return x, new_cache
+
+
+def compute_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray
+                   ) -> jnp.ndarray:
+    """Final-norm hidden (…, H) → fp32 logits (…, V).
+
+    Kept separate from forward() so prefill can project only the last valid
+    position per slot instead of materializing (B, S, V) — at the Orpheus
+    vocab (156,940) a full 512-bucket prefill logits tensor would be 320 MB.
+    """
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        return jnp.einsum(
+            "...h,vh->...v", hidden, params["embed"],
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(
+        "...h,hv->...v", hidden, params["lm_head"],
+        preferred_element_type=jnp.float32,
+    )
 
 
 def prefill(
@@ -290,11 +300,11 @@ def prefill(
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Prefill the cache; returns (last-valid-position logits (B, V), cache)."""
     zero = jnp.zeros_like(prompt_lens)
-    logits, cache = forward(params, cfg, tokens, cache, zero, prompt_lens)
+    hidden, cache = forward(params, cfg, tokens, cache, zero, prompt_lens)
     last = jnp.maximum(prompt_lens - 1, 0)
     b = tokens.shape[0]
-    last_logits = logits[jnp.arange(b), last]
-    return last_logits, cache
+    last_hidden = hidden[jnp.arange(b), last]          # (B, H)
+    return compute_logits(params, cfg, last_hidden), cache
 
 
 def decode_one(
@@ -302,10 +312,16 @@ def decode_one(
     cfg: ModelConfig,
     token: jnp.ndarray,       # (B,) int32 — previous token per slot
     cache: KVCache,
+    active: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One decode step for every slot; returns (logits (B, V), new cache)."""
-    ones = jnp.ones_like(cache.lengths)
-    logits, cache = forward(
-        params, cfg, token[:, None], cache, cache.lengths, ones
+    """One decode step for every slot; returns (logits (B, V), new cache).
+
+    `active` (B,) bool freezes finished slots: their KV write lands at the
+    current length (overwritten next real step) and lengths don't advance.
+    """
+    seg = (jnp.ones_like(cache.lengths) if active is None
+           else active.astype(jnp.int32))
+    hidden, cache = forward(
+        params, cfg, token[:, None], cache, cache.lengths, seg
     )
-    return logits[:, 0], cache
+    return compute_logits(params, cfg, hidden[:, 0]), cache

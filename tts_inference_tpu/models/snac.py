@@ -280,14 +280,30 @@ def codes_to_latent(
     return z
 
 
-def _residual_unit(x, p, dilation, groups):
+def _mask_tail(x: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Zero positions ≥ valid along the time axis (no-op when valid is None).
+
+    Re-zeroing the pad zone after every spreading op makes a bucket-padded
+    decode bit-equal to an unpadded decode on all content samples: a zero
+    pad zone is indistinguishable from the zero padding 'same' convolutions
+    apply at a true sequence end. Without this, pad *codes* act as fake
+    future context and corrupt the last ~2.3 frames (the vocoder's
+    influence reach) of every flush.
+    """
+    if valid is None:
+        return x
+    t = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :, None]
+    return jnp.where(t < valid, x, jnp.zeros_like(x))
+
+
+def _residual_unit(x, p, dilation, groups, valid=None):
     y = snake(x, p["alpha1"])
     pad = ((7 - 1) * dilation) // 2
     y = conv1d(y, p["conv1"]["w"], p["conv1"]["b"], dilation=dilation,
                padding=pad, groups=groups)
     y = snake(y, p["alpha2"])
     y = conv1d(y, p["conv2"]["w"], p["conv2"]["b"])
-    return x + y
+    return _mask_tail(x + y, valid)
 
 
 def decode_latent(
@@ -298,23 +314,30 @@ def decode_latent(
     noise_seed: int | jnp.ndarray = 0,
     latent_offset: jnp.ndarray | int = 0,
     use_noise: Optional[bool] = None,
+    valid_latent: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Latent (B, T, latent_dim) → waveform (B, T*512) in [-1, 1].
 
     ``latent_offset`` is the absolute latent position of z[:, 0]; it anchors
     the deterministic noise so windowed decodes match batch decodes.
+    ``valid_latent`` (traced scalar) marks the true content length in latent
+    steps; the padded tail beyond it is forced to behave like a sequence end
+    (see _mask_tail) so bucketed shapes never change the audio.
     """
     dp = params["decoder"]
     use_noise = cfg.noise if use_noise is None else use_noise
 
+    z = _mask_tail(z, valid_latent)
     if cfg.depthwise:
         x = conv1d(z, dp["in"]["dw"]["w"], dp["in"]["dw"]["b"], padding=3,
                    groups=cfg.latent_dim)
         x = conv1d(x, dp["in"]["pw"]["w"], dp["in"]["pw"]["b"])
     else:
         x = conv1d(z, dp["in"]["conv"]["w"], dp["in"]["conv"]["b"], padding=3)
+    x = _mask_tail(x, valid_latent)
 
     up_total = 1
+    valid = valid_latent
     for i, (bp, rate) in enumerate(zip(dp["blocks"], cfg.decoder_rates)):
         out_dim = x.shape[-1] // 2
         groups = out_dim if cfg.depthwise else 1
@@ -325,6 +348,8 @@ def decode_latent(
             output_padding=rate % 2,
         )
         up_total *= rate
+        valid = None if valid is None else valid * rate
+        x = _mask_tail(x, valid)
         if use_noise and bp["noise_lin"] is not None:
             h = conv1d(x, bp["noise_lin"]["w"])
             noise = position_noise(
@@ -332,9 +357,9 @@ def decode_latent(
                 jnp.asarray(latent_offset, jnp.uint32) * jnp.uint32(up_total),
                 x.shape[1], x.shape[0],
             )
-            x = x + noise * h
+            x = _mask_tail(x + noise * h, valid)
         for dil, rp in zip((1, 3, 9), bp["res"]):
-            x = _residual_unit(x, rp, dil, groups)
+            x = _residual_unit(x, rp, dil, groups, valid)
 
     x = snake(x, dp["out_alpha"])
     x = conv1d(x, dp["out_conv"]["w"], dp["out_conv"]["b"], padding=3)
@@ -349,13 +374,14 @@ def decode_codes(
     noise_seed: int | jnp.ndarray = 0,
     latent_offset: jnp.ndarray | int = 0,
     use_noise: Optional[bool] = None,
+    valid_latent: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full decode: 3 code layers → waveform (B, samples)."""
     z = codes_to_latent(params, cfg, codes)
     return decode_latent(
         params, cfg, z,
         noise_seed=noise_seed, latent_offset=latent_offset,
-        use_noise=use_noise,
+        use_noise=use_noise, valid_latent=valid_latent,
     )
 
 
@@ -416,5 +442,6 @@ class SnacDecoder:
             self.params, self.cfg, codes,
             noise_seed=noise_seed,
             latent_offset=first_frame * lat_per_frame,
+            valid_latent=jnp.int32(n * lat_per_frame),
         )
         return np.asarray(audio[0, : n * spf])

@@ -1,0 +1,138 @@
+"""Runtime assembly: config + checkpoints → ready TTSPipeline.
+
+The warm-container load path (reference: `@modal.enter` load_models,
+`tensorrt_tts/inference.py:128-168` — tokenizer + engine + SNAC + warmup)
+as an explicit factory. Without checkpoint paths it builds random-weight
+models (bench/tests run with zero downloadable assets).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+
+from tts_inference_tpu import protocol
+from tts_inference_tpu.config import Config, tiny_config
+from tts_inference_tpu.engine.engine import GenerationEngine
+from tts_inference_tpu.models import llama, snac
+from tts_inference_tpu.streaming.pipeline import TTSPipeline
+from tts_inference_tpu.utils.tokenizer import ByteTokenizer, load_tokenizer
+
+
+def enable_compilation_cache(cache_dir: Optional[str]) -> None:
+    """Persistent XLA compilation cache — the analog of the reference's saved
+    TRT engine dir (`build_engine.py:149-150`): pay compile once, reload in
+    seconds on warm start."""
+    if not cache_dir:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+@dataclasses.dataclass
+class Runtime:
+    config: Config
+    pipeline: TTSPipeline
+    engine: GenerationEngine
+    vocoder: snac.SnacDecoder
+    tokenizer: object
+    load_timings: dict
+
+    @classmethod
+    def create(
+        cls,
+        config: Optional[Config] = None,
+        *,
+        model_path: Optional[str] = None,
+        snac_path: Optional[str] = None,
+        lora_path: Optional[str] = None,
+        tokenizer_path: Optional[str] = None,
+        seed: int = 0,
+        warmup: bool = False,
+    ) -> "Runtime":
+        config = config or Config()
+        enable_compilation_cache(config.engine.compilation_cache_dir)
+        timings = {}
+
+        t0 = time.perf_counter()
+        if model_path:
+            from tts_inference_tpu.models.loader import load_llama_checkpoint
+
+            params, model_cfg = load_llama_checkpoint(
+                model_path, config.model, lora_path=lora_path,
+                dtype=llama.param_dtype(config.model),
+            )
+            config = dataclasses.replace(config, model=model_cfg)
+        else:
+            params = llama.init_llama_params(
+                jax.random.PRNGKey(seed), config.model
+            )
+        timings["load_model_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        if snac_path:
+            from tts_inference_tpu.models.loader import load_snac_checkpoint
+
+            vparams, snac_cfg = load_snac_checkpoint(snac_path, config.snac)
+            config = dataclasses.replace(config, snac=snac_cfg)
+        else:
+            vparams = snac.init_snac_params(
+                jax.random.PRNGKey(seed + 1), config.snac
+            )
+        vocoder = snac.SnacDecoder(vparams, config.snac)
+        timings["load_snac_s"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tokenizer = (
+            load_tokenizer(tokenizer_path or model_path)
+            if (tokenizer_path or model_path)
+            else ByteTokenizer()
+        )
+        timings["load_tokenizer_s"] = time.perf_counter() - t0
+
+        engine = GenerationEngine(
+            params, config.model, config.engine,
+            eos_id=protocol.TOKEN_EOS, seed=seed,
+        )
+        pipeline = TTSPipeline(engine, vocoder, tokenizer, config)
+
+        if warmup:
+            t0 = time.perf_counter()
+            info = engine.warmup()
+            # warm the vocoder buckets too (reference warms SNAC with a dummy
+            # decode, modal_audio_stream.py:120-127)
+            import numpy as np
+
+            for b in vocoder.frame_buckets[:2]:
+                vocoder.decode_frames(
+                    np.zeros(b, np.int32), np.zeros(2 * b, np.int32),
+                    np.zeros(4 * b, np.int32),
+                )
+            timings["warmup_s"] = time.perf_counter() - t0
+            timings.update({k: v / 1000.0 for k, v in info.items()})
+
+        return cls(config, pipeline, engine, vocoder, tokenizer, timings)
+
+    def write_build_info(self, path: str) -> None:
+        """build_info.json analog (`build_engine.py:162-175`)."""
+        info = {
+            "framework": "tts_inference_tpu",
+            "backend": jax.devices()[0].platform,
+            "model": dataclasses.asdict(self.config.model),
+            "engine": dataclasses.asdict(self.config.engine),
+            "snac": dataclasses.asdict(self.config.snac),
+            "load_timings": self.load_timings,
+        }
+        with open(path, "w") as f:
+            json.dump(info, f, indent=2, default=str)
+
+
+def create_tiny_runtime(seed: int = 0, warmup: bool = False) -> Runtime:
+    """Tiny random-weight runtime (tests, smoke benches, CLI --tiny)."""
+    return Runtime.create(tiny_config(), seed=seed, warmup=warmup)

@@ -1,0 +1,185 @@
+"""TTS pipeline: text → prompt → token stream → stable PCM chunks.
+
+The L4 streaming orchestration layer (reference: `stream_audio`
+`modal_audio_stream.py:340-423` and the lookahead production variant,
+PIPELINE_REPORT.md:496-519), rebuilt around the windowed lookahead decoder
+and the multi-token-per-dispatch engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from tts_inference_tpu import protocol
+from tts_inference_tpu.config import Config, SamplingConfig, StreamConfig
+from tts_inference_tpu.engine.engine import GenerationEngine
+from tts_inference_tpu.models.snac import SnacDecoder
+from tts_inference_tpu.streaming.lookahead import LookaheadStreamingDecoder
+from tts_inference_tpu.utils.audio import pcm16_bytes
+from tts_inference_tpu.utils.timing import PhaseTimer
+from tts_inference_tpu.utils.tokenizer import TokenizerProtocol
+
+
+@dataclasses.dataclass
+class AudioChunk:
+    pcm: bytes               # int16 LE mono 24 kHz
+    index: int
+    samples: int
+
+    @property
+    def duration_ms(self) -> float:
+        return self.samples / protocol.SAMPLE_RATE * 1000.0
+
+
+@dataclasses.dataclass
+class StreamMetrics:
+    """server_metrics payload fields (reference wire contract:
+    PIPELINE_REPORT.md:667-691 and comprehensive_sweep.py:192-197)."""
+
+    ttft_ms: float = 0.0
+    ttfa_ms: float = 0.0
+    tokens: int = 0
+    frames: int = 0
+    chunks: int = 0
+    audio_duration_ms: float = 0.0
+    generation_time_ms: float = 0.0
+    tokens_per_sec: float = 0.0
+    frames_per_sec: float = 0.0
+    rtf: float = 0.0
+    decode_times_ms: List[float] = dataclasses.field(default_factory=list)
+
+    def finalize(self) -> "StreamMetrics":
+        s = self.generation_time_ms / 1000.0
+        if s > 0:
+            self.tokens_per_sec = self.tokens / s
+            self.frames_per_sec = self.frames / s
+            self.rtf = (self.audio_duration_ms / 1000.0) / s
+        return self
+
+    def as_wire(self) -> dict:
+        """The `server_metrics` JSON object the benchmark clients read."""
+        return {
+            "server_ttft_ms": round(self.ttft_ms, 2),
+            "server_ttfa_ms": round(self.ttfa_ms, 2),
+            "server_rtf": round(self.rtf, 4),
+            "tokens": self.tokens,
+            "tokens_per_sec": round(self.tokens_per_sec, 2),
+            "frames_per_sec": round(self.frames_per_sec, 2),
+            "generation_time_s": round(self.generation_time_ms / 1000.0, 3),
+            "decode_times_ms": [round(d, 2) for d in self.decode_times_ms],
+        }
+
+
+class TTSPipeline:
+    """Single-stream synthesis over one engine slot.
+
+    `stream()` yields AudioChunks then returns; final metrics live on
+    `self.last_metrics` (also handed to the caller via the generator's
+    StopIteration value when consumed manually).
+    """
+
+    def __init__(
+        self,
+        engine: GenerationEngine,
+        vocoder: SnacDecoder,
+        tokenizer: TokenizerProtocol,
+        config: Optional[Config] = None,
+    ):
+        self.engine = engine
+        self.vocoder = vocoder
+        self.tokenizer = tokenizer
+        self.config = config or Config()
+        self.last_metrics: Optional[StreamMetrics] = None
+
+    def build_prompt(self, text: str, voice: str = "tara",
+                     force_speech: bool = False) -> List[int]:
+        text = text[: protocol.MAX_TEXT_CHARS]
+        ids = self.tokenizer.encode(protocol.format_prompt_text(text, voice))
+        return protocol.format_prompt_ids(ids, force_speech=force_speech)
+
+    def stream(
+        self,
+        text: str,
+        voice: str = "tara",
+        sampling: Optional[SamplingConfig] = None,
+        stream_cfg: Optional[StreamConfig] = None,
+        noise_seed: int = 0,
+        force_speech: bool = False,
+    ) -> Iterator[AudioChunk]:
+        sampling = sampling or self.config.sampling
+        scfg = stream_cfg or self.config.stream
+        timer = PhaseTimer()
+        metrics = StreamMetrics()
+        self.last_metrics = metrics
+
+        prompt = self.build_prompt(text, voice, force_speech=force_speech)
+        extractor = protocol.TokenExtractor(
+            restart_on_sos=(scfg.extraction == "last_sos")
+        )
+        if force_speech:
+            # prompt already ends in SOS — audio tokens start immediately
+            extractor.started = True
+        la = LookaheadStreamingDecoder(self.vocoder, scfg, noise_seed)
+
+        chunk_index = 0
+
+        def cut(samples: np.ndarray) -> Iterator[AudioChunk]:
+            nonlocal chunk_index
+            metrics.ttfa_ms = metrics.ttfa_ms or timer.mark("ttfa_ms")
+            chunk_index += 1
+            metrics.chunks = chunk_index
+            metrics.audio_duration_ms += len(samples) / protocol.SAMPLE_RATE * 1e3
+            yield AudioChunk(pcm16_bytes(samples), chunk_index, len(samples))
+
+        for token_chunk in self.engine.stream(prompt, sampling):
+            metrics.ttft_ms = metrics.ttft_ms or timer.mark("ttft_ms")
+            metrics.tokens += len(token_chunk)
+            # restart_on_sos may discard previously emitted audio — once
+            # samples are on the wire we cannot unemit; switch the extractor
+            # to first-SOS semantics after first emission (matches the
+            # streaming reference, which gates on first SOS:
+            # modal_audio_stream.py:320-333).
+            new_codes = extractor.feed_many(token_chunk)
+            if new_codes:
+                la.feed(new_codes)
+                t0 = time.perf_counter()
+                out = la.poll()
+                if out is not None and len(out):
+                    metrics.decode_times_ms.append(
+                        (time.perf_counter() - t0) * 1000.0
+                    )
+                    yield from cut(out)
+            if extractor.finished:
+                break
+
+        t0 = time.perf_counter()
+        tail = la.flush()
+        if tail is not None and len(tail):
+            metrics.decode_times_ms.append((time.perf_counter() - t0) * 1000.0)
+            yield from cut(tail)
+
+        metrics.frames = la.total_frames
+        metrics.generation_time_ms = timer.elapsed_ms()
+        metrics.ttfa_ms = metrics.ttfa_ms or metrics.generation_time_ms
+        metrics.finalize()
+
+    def synthesize(
+        self,
+        text: str,
+        voice: str = "tara",
+        sampling: Optional[SamplingConfig] = None,
+        stream_cfg: Optional[StreamConfig] = None,
+        force_speech: bool = False,
+    ) -> tuple[bytes, StreamMetrics]:
+        """Batch path (reference `/generate`): full PCM + metrics."""
+        parts = [
+            c.pcm for c in self.stream(
+                text, voice, sampling, stream_cfg, force_speech=force_speech
+            )
+        ]
+        assert self.last_metrics is not None
+        return b"".join(parts), self.last_metrics
