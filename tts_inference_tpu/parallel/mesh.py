@@ -1,0 +1,118 @@
+"""Device mesh + sharding rules (pjit TP/DP over ICI).
+
+The reference's parallelism is pass-through flags to third-party engines,
+always 1 (`tensor_parallel_size=1`, `modal_audio_stream.py:226`;
+SURVEY.md §2.3) — multi-GPU serving is its roadmap, not its code. Here
+parallelism is first-party: a `jax.sharding.Mesh` with axes
+
+    dp — data parallel (request slots / training batch)
+    tp — tensor parallel (attention heads + FFN columns, over ICI)
+
+and PartitionSpec rules for the Llama params, KV cache, and batch state.
+XLA inserts the collectives (psum on row-parallel matmuls) — no NCCL analog
+needed (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tts_inference_tpu.config import MeshConfig, ModelConfig
+
+
+def make_mesh(cfg: MeshConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = cfg.num_devices
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(cfg.dp, cfg.tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def validate_tp(model_cfg: ModelConfig, tp: int) -> None:
+    if model_cfg.num_key_value_heads % tp:
+        raise ValueError(
+            f"num_key_value_heads={model_cfg.num_key_value_heads} not "
+            f"divisible by tp={tp}"
+        )
+    if model_cfg.num_attention_heads % tp:
+        raise ValueError("num_attention_heads not divisible by tp")
+    if model_cfg.intermediate_size % tp:
+        raise ValueError("intermediate_size not divisible by tp")
+
+
+def llama_param_pspecs(model_cfg: ModelConfig) -> Dict[str, Any]:
+    """PartitionSpec tree matching models/llama.py params.
+
+    Megatron-style: q/k/v/gate/up column-parallel on tp, o/down
+    row-parallel; embedding sharded over vocab (logits einsum contracts the
+    replicated hidden against the vocab shard → vocab-sharded logits).
+    """
+    layer = {
+        "input_norm": P(),
+        "post_attn_norm": P(),
+        "wq": P(None, "tp"),
+        "wk": P(None, "tp"),
+        "wv": P(None, "tp"),
+        "wo": P("tp", None),
+        "w_gate": P(None, "tp"),
+        "w_up": P(None, "tp"),
+        "w_down": P("tp", None),
+    }
+    specs: Dict[str, Any] = {
+        "embed": P("tp", None),
+        "final_norm": P(),
+        "layers": [dict(layer) for _ in range(model_cfg.num_hidden_layers)],
+    }
+    if not model_cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, "tp")
+    return specs
+
+
+def kv_cache_pspecs():
+    """KVCache(k, v, lengths): batch slots over dp, kv heads over tp."""
+    from tts_inference_tpu.models.llama import KVCache
+
+    return KVCache(
+        k=P(None, "dp", None, "tp", None),
+        v=P(None, "dp", None, "tp", None),
+        lengths=P("dp"),
+    )
+
+
+def sampling_state_pspecs():
+    from tts_inference_tpu.ops.sampling import SamplingState
+
+    return SamplingState(presence=P("dp", None), key=P("dp", None))
+
+
+def batch_pspec() -> P:
+    return P("dp", None)
+
+
+def shard_tree(tree, pspec_tree, mesh: Mesh):
+    """Place a pytree onto the mesh with the given PartitionSpecs.
+
+    Leaves whose spec is None (or non-array leaves like scalar hyperparams)
+    pass through unchanged.
+    """
+    def place(x, spec):
+        if spec is None or not isinstance(spec, P) or x is None:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(
+        place, tree, pspec_tree,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def shardings(tree_pspecs, mesh: Mesh):
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), tree_pspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
