@@ -1,0 +1,252 @@
+"""Serving-layer tests: wire-protocol contracts against the tiny runtime.
+
+Each test speaks the exact protocol the reference's surviving benchmark
+clients use (comprehensive_sweep.py:118-210), so green here means those
+clients run unmodified.
+"""
+
+import asyncio
+import base64
+import io
+import json
+import wave
+
+import numpy as np
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp import WSMsgType  # noqa: E402
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from tts_inference_tpu import protocol as P  # noqa: E402
+from tts_inference_tpu.runtime import create_tiny_runtime  # noqa: E402
+from tts_inference_tpu.serving.app import create_app  # noqa: E402
+
+REQ = {
+    "text": "hello websocket",
+    "voice": "tara",
+    "temperature": 0.6,
+    "top_p": 0.95,
+    "frames_per_chunk": 2,
+    "benchmark": True,
+    "force_speech": True,
+    "audio_only": True,
+    "lookahead_frames": 3,
+    "max_tokens": 70,
+    "seed": 7,
+}
+
+
+@pytest.fixture(scope="module")
+def rt():
+    return create_tiny_runtime(seed=0)
+
+
+@pytest.fixture()
+def client(rt, event_loop=None):
+    loop = asyncio.new_event_loop()
+    app = create_app(rt)
+    client = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+def test_index_and_health(client):
+    c, loop = client
+
+    async def go():
+        r = await c.get("/")
+        info = await r.json()
+        assert "/ws/tts" in info["endpoints"]
+        h = await (await c.get("/health")).json()
+        assert h["status"] == "ok"
+        t = await c.get("/test")
+        assert "WebSocket" in await t.text()
+
+    loop.run_until_complete(go())
+
+
+def test_ws_tts_binary_protocol(client):
+    """The comprehensive_sweep.py exchange: JSON request → binary chunks →
+    done JSON with server_metrics."""
+    c, loop = client
+
+    async def go():
+        ws = await c.ws_connect("/ws/tts")
+        await ws.send_json(REQ)
+        chunks, done = [], None
+        while True:
+            msg = await ws.receive(timeout=180)
+            if msg.type == WSMsgType.BINARY:
+                chunks.append(msg.data)
+            elif msg.type == WSMsgType.TEXT:
+                data = json.loads(msg.data)
+                assert "error" not in data, data
+                if data.get("done"):
+                    done = data
+                    break
+            else:
+                raise AssertionError(msg)
+        await ws.close()
+        return chunks, done
+
+    chunks, done = loop.run_until_complete(go())
+    assert len(chunks) >= 2
+    total = sum(len(c_) for c_ in chunks)
+    assert done["chunks"] == len(chunks)
+    assert done["bytes"] == total
+    # 70 tokens → 10 frames → 10*2048 samples *2 bytes
+    assert total == 10 * P.SAMPLES_PER_FRAME * 2
+    sm = done["server_metrics"]
+    for k in ("server_ttft_ms", "server_ttfa_ms", "server_rtf",
+              "tokens_per_sec"):
+        assert k in sm, sm
+    assert sm["tokens"] == 70
+
+
+def test_ws_audio_base64_protocol(client):
+    c, loop = client
+
+    async def go():
+        ws = await c.ws_connect("/ws/audio")
+        await ws.send_json(REQ)
+        chunks, eos = [], None
+        while True:
+            msg = await ws.receive(timeout=180)
+            data = json.loads(msg.data)
+            assert "error" not in data, data
+            if data.get("event") == "EOS":
+                eos = data
+                break
+            chunks.append((data["chunk_index"], base64.b64decode(data["audio"])))
+        await ws.close()
+        return chunks, eos
+
+    chunks, eos = loop.run_until_complete(go())
+    assert eos["total_chunks"] == len(chunks)
+    assert [i for i, _ in chunks] == list(range(1, len(chunks) + 1))
+
+
+def test_ws_token_debug(client):
+    c, loop = client
+
+    async def go():
+        ws = await c.ws_connect("/ws")
+        await ws.send_json({**REQ, "max_tokens": 10})
+        toks, eos = [], None
+        while True:
+            msg = await ws.receive(timeout=180)
+            data = json.loads(msg.data)
+            if data.get("event") == "EOS":
+                eos = data
+                break
+            toks.extend(data["tokens"])
+        await ws.close()
+        return toks, eos
+
+    toks, eos = loop.run_until_complete(go())
+    assert eos["total_tokens"] == len(toks) >= 10
+
+
+def test_generate_wav_and_headers(client):
+    c, loop = client
+
+    async def go():
+        r = await c.post("/generate", json=REQ)
+        body = await r.read()
+        return r, body
+
+    r, body = loop.run_until_complete(go())
+    assert r.status == 200
+    assert r.headers["Content-Type"] == "audio/wav"
+    for h in ("X-TTFT-Ms", "X-TTFA-Ms", "X-Audio-Duration-Ms",
+              "X-Total-Time-Ms", "X-Decode-Time-Ms", "X-Real-Time-Factor",
+              "X-Chunks"):
+        assert h in r.headers, h
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getframerate() == P.SAMPLE_RATE
+        assert w.getnframes() == 10 * P.SAMPLES_PER_FRAME
+
+
+def test_generate_batch_headers(client):
+    c, loop = client
+
+    async def go():
+        r = await c.post("/generate-batch", json=REQ)
+        await r.read()
+        return r
+
+    r = loop.run_until_complete(go())
+    assert r.status == 200
+    assert r.headers["X-Tokens"] == "70"
+    assert r.headers["X-Frames"] == "10"
+
+
+def test_generate_errors(client):
+    c, loop = client
+
+    async def go():
+        r1 = await c.post("/generate", json={"text": ""})
+        r2 = await c.post("/generate", data=b"not json")
+        # without force_speech random weights emit no SOS → no audio → 500
+        r3 = await c.post("/generate", json={
+            "text": "x", "max_tokens": 10, "seed": 1, "audio_only": True,
+        })
+        return r1.status, r2.status, r3.status, await r3.json()
+
+    s1, s2, s3, body3 = loop.run_until_complete(go())
+    assert s1 == 400 and s2 == 400 and s3 == 500
+    assert "error" in body3
+
+
+def test_dump_tokens(client):
+    c, loop = client
+
+    async def go():
+        r = await c.post("/dump-tokens", json={**REQ, "max_tokens": 8})
+        return r.status, await r.json()
+
+    status, data = loop.run_until_complete(go())
+    assert status == 200
+    assert data["prompt_ids"][0] == P.TOKEN_SOH
+    assert len(data["token_ids"]) >= 8
+    assert "tokens_per_sec" in data["timings"]
+
+
+def test_ws_tts_streaming_equals_batch_decode(client, rt):
+    """End-to-end audio over the wire equals an offline synthesize with the
+    same seed — the full-stack version of the streaming-quality test."""
+    c, loop = client
+
+    async def go():
+        ws = await c.ws_connect("/ws/tts")
+        await ws.send_json(REQ)
+        chunks = []
+        while True:
+            msg = await ws.receive(timeout=180)
+            if msg.type == WSMsgType.BINARY:
+                chunks.append(msg.data)
+            else:
+                if json.loads(msg.data).get("done"):
+                    break
+        await ws.close()
+        return b"".join(chunks)
+
+    wire = loop.run_until_complete(go())
+
+    from tts_inference_tpu.config import SamplingConfig, StreamConfig
+
+    sampling = SamplingConfig(
+        temperature=0.6, top_p=0.95, max_tokens=70, seed=7,
+        token_range=(P.TOKEN_AUDIO_BASE, P.TOKEN_AUDIO_BASE + P.AUDIO_VOCAB),
+    )
+    offline, _ = rt.pipeline.synthesize(
+        "hello websocket", "tara", sampling,
+        StreamConfig(frames_per_chunk=2, lookahead_frames=3),
+        force_speech=True,
+    )
+    np.testing.assert_array_equal(
+        np.frombuffer(wire, np.int16), np.frombuffer(offline, np.int16)
+    )

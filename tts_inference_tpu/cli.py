@@ -118,13 +118,10 @@ def cmd_aot_compile(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    import uvicorn
-
-    from tts_inference_tpu.serving.app import create_app
+    from tts_inference_tpu.serving.app import run_app
 
     rt = _build_runtime(args)
-    app = create_app(rt)
-    uvicorn.run(app, host=args.host, port=args.port, log_level="info")
+    run_app(rt, host=args.host, port=args.port)
     return 0
 
 

@@ -1,0 +1,482 @@
+"""HTTP/WebSocket serving layer (aiohttp).
+
+Preserves the reference's wire contracts so its surviving benchmark clients
+run unmodified against this server:
+
+- `WS /ws/tts`  — production protocol (PIPELINE_REPORT.md:563-569,667-691):
+  client sends one JSON request, server streams **binary** int16 PCM chunks,
+  then `{"done": true, "chunks": N, "duration_s": …, "bytes": …,
+  "server_metrics": {…}}` (metrics included when `benchmark: true`).
+  Clients: plot_metrics/benchmark_with_wandb.py, comprehensive_sweep.py.
+- `WS /ws/audio` — base64 JSON protocol (`modal_audio_stream.py:448-498`):
+  `{"audio": <b64>, "chunk_index": n}` … `{"event": "EOS", "total_chunks"}`.
+- `WS /ws`       — token-debug stream (`modal_audio_stream.py:675-722`).
+- `POST /generate` — WAV + `X-TTFT-Ms`/`X-TTFA-Ms`/`X-Audio-Duration-Ms`/
+  `X-Total-Time-Ms`/`X-Decode-Time-Ms`/`X-Real-Time-Factor`/`X-Chunks`
+  headers (`modal_audio_stream.py:581-672`).
+- `POST /generate-batch` — WAV + `X-Audio-Duration-Ms`/`X-Total-Time-Ms`/
+  `X-Tokens`/`X-Frames` (`modal_audio_stream.py:506-578`).
+- `POST /dump-tokens`, `GET /`, `GET /health`, `GET /test` (HTML player).
+
+Concurrency: generation runs in a worker thread (the device loop is
+blocking); an asyncio lock serializes access to the single engine slot and
+busy requests get the reference's 503/`{"error": "Generation in progress"}`
+behavior — but checked atomically inside the event loop, fixing the
+reference's check-then-acquire race (SURVEY.md §5.2). Multi-slot serving
+arrives with the continuous-batching scheduler.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import dataclasses
+import json
+import time
+from typing import AsyncIterator, Optional, Tuple
+
+from aiohttp import WSMsgType, web
+
+from tts_inference_tpu import protocol
+from tts_inference_tpu.config import SamplingConfig, StreamConfig
+from tts_inference_tpu.utils.audio import wav_bytes
+
+AUDIO_RANGE = (
+    protocol.TOKEN_AUDIO_BASE,
+    protocol.TOKEN_AUDIO_BASE + protocol.AUDIO_VOCAB,
+)
+
+
+def parse_request(data: dict, defaults: SamplingConfig,
+                  stream_defaults: StreamConfig
+                  ) -> Tuple[str, str, SamplingConfig, StreamConfig, dict]:
+    """Per-request JSON fields (reference contract:
+    comprehensive_sweep.py:143-150 + our extensions)."""
+    text = (data.get("text") or "")[: protocol.MAX_TEXT_CHARS]
+    voice = data.get("voice", "tara")
+    sampling = dataclasses.replace(
+        defaults,
+        temperature=float(data.get("temperature", defaults.temperature)),
+        top_p=float(data.get("top_p", defaults.top_p)),
+        repetition_penalty=float(
+            data.get("repetition_penalty", defaults.repetition_penalty)
+        ),
+        max_tokens=int(data.get("max_tokens", defaults.max_tokens)),
+        seed=data.get("seed", defaults.seed),
+        token_range=AUDIO_RANGE if data.get("audio_only") else defaults.token_range,
+    )
+    stream_cfg = dataclasses.replace(
+        stream_defaults,
+        frames_per_chunk=int(
+            data.get("frames_per_chunk", stream_defaults.frames_per_chunk)
+        ),
+        lookahead_frames=int(
+            data.get("lookahead_frames", stream_defaults.lookahead_frames)
+        ),
+    )
+    opts = {
+        "benchmark": bool(data.get("benchmark", False)),
+        "force_speech": bool(data.get("force_speech", False)),
+    }
+    return text, voice, sampling, stream_cfg, opts
+
+
+class Server:
+    def __init__(self, runtime):
+        self.rt = runtime
+        self.lock = asyncio.Lock()
+        self.started_at = time.time()
+        self.requests_served = 0
+
+    # ---- generation bridge (blocking device loop → async chunks) ---------
+
+    async def chunk_stream(
+        self, text: str, voice: str, sampling: SamplingConfig,
+        stream_cfg: StreamConfig, force_speech: bool,
+    ) -> AsyncIterator:
+        loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue(maxsize=64)
+        DONE, ERR = object(), object()
+
+        def worker():
+            try:
+                for chunk in self.rt.pipeline.stream(
+                    text, voice, sampling, stream_cfg,
+                    force_speech=force_speech,
+                ):
+                    asyncio.run_coroutine_threadsafe(
+                        q.put(("chunk", chunk)), loop
+                    ).result()
+                asyncio.run_coroutine_threadsafe(q.put((DONE, None)), loop).result()
+            except Exception as e:  # noqa: BLE001 — surfaced to the client
+                asyncio.run_coroutine_threadsafe(q.put((ERR, e)), loop).result()
+
+        task = loop.run_in_executor(None, worker)
+        try:
+            while True:
+                kind, payload = await q.get()
+                if kind is DONE:
+                    break
+                if kind is ERR:
+                    raise payload
+                yield payload
+        finally:
+            await task
+
+    # ---- HTTP ------------------------------------------------------------
+
+    async def index(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "service": "tts_inference_tpu",
+            "model": "orpheus-3b (tpu-native)",
+            "endpoints": ["/ws/tts", "/ws/audio", "/ws", "/generate",
+                          "/generate-batch", "/dump-tokens", "/health",
+                          "/test"],
+            "sample_rate": protocol.SAMPLE_RATE,
+            "uptime_s": round(time.time() - self.started_at, 1),
+            "requests_served": self.requests_served,
+        })
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok", "busy": self.lock.locked()})
+
+    async def test_page(self, request: web.Request) -> web.Response:
+        return web.Response(text=TEST_PAGE, content_type="text/html")
+
+    def _busy(self) -> bool:
+        return self.lock.locked()
+
+    async def generate(self, request: web.Request) -> web.Response:
+        """Streaming-path WAV endpoint (reference /generate)."""
+        try:
+            data = await request.json()
+        except Exception:
+            return web.json_response({"error": "Invalid JSON"}, status=400)
+        text, voice, sampling, scfg, opts = parse_request(
+            data, self.rt.config.sampling, self.rt.config.stream
+        )
+        if not text:
+            return web.json_response({"error": "No text provided"}, status=400)
+        if self._busy():
+            return web.json_response(
+                {"error": "Generation in progress, try again later"},
+                status=503,
+            )
+        async with self.lock:
+            t0 = time.perf_counter()
+            chunks = []
+            async for chunk in self.chunk_stream(
+                text, voice, sampling, scfg, opts["force_speech"]
+            ):
+                chunks.append(chunk.pcm)
+            total_ms = (time.perf_counter() - t0) * 1000.0
+        m = self.rt.pipeline.last_metrics
+        pcm = b"".join(chunks)
+        if not pcm:
+            return web.json_response(
+                {"error": "No audio generated", "tokens": m.tokens,
+                 "text": text[:100]},
+                status=500,
+            )
+        self.requests_served += 1
+        return web.Response(
+            body=wav_bytes(pcm),
+            content_type="audio/wav",
+            headers={
+                "Content-Disposition": "attachment; filename=output.wav",
+                "X-TTFT-Ms": f"{m.ttft_ms:.2f}",
+                "X-TTFA-Ms": f"{m.ttfa_ms:.2f}",
+                "X-Audio-Duration-Ms": f"{m.audio_duration_ms:.2f}",
+                "X-Total-Time-Ms": f"{total_ms:.2f}",
+                "X-Decode-Time-Ms": f"{sum(m.decode_times_ms):.2f}",
+                "X-Real-Time-Factor": f"{m.rtf:.4f}",
+                "X-Chunks": str(m.chunks),
+            },
+        )
+
+    async def generate_batch(self, request: web.Request) -> web.Response:
+        """Collect-all-then-decode-once endpoint (reference /generate-batch)."""
+        try:
+            data = await request.json()
+        except Exception:
+            return web.json_response({"error": "Invalid JSON"}, status=400)
+        text, voice, sampling, _, opts = parse_request(
+            data, self.rt.config.sampling, self.rt.config.stream
+        )
+        if not text:
+            return web.json_response({"error": "No text provided"}, status=400)
+        if self._busy():
+            return web.json_response({"error": "Generation in progress"},
+                                     status=503)
+        # batch mode: one decode at the end = frames_per_chunk → ∞
+        scfg = dataclasses.replace(
+            self.rt.config.stream, frames_per_chunk=10**9
+        )
+        async with self.lock:
+            t0 = time.perf_counter()
+            chunks = []
+            async for chunk in self.chunk_stream(
+                text, voice, sampling, scfg, opts["force_speech"]
+            ):
+                chunks.append(chunk.pcm)
+            total_ms = (time.perf_counter() - t0) * 1000.0
+        m = self.rt.pipeline.last_metrics
+        pcm = b"".join(chunks)
+        if not pcm:
+            return web.json_response(
+                {"error": f"Not enough tokens: {m.tokens}"}, status=500
+            )
+        self.requests_served += 1
+        return web.Response(
+            body=wav_bytes(pcm),
+            content_type="audio/wav",
+            headers={
+                "Content-Disposition": "attachment; filename=batch_output.wav",
+                "X-Audio-Duration-Ms": f"{m.audio_duration_ms:.2f}",
+                "X-Total-Time-Ms": f"{total_ms:.2f}",
+                "X-Tokens": str(m.tokens),
+                "X-Frames": str(m.frames),
+            },
+        )
+
+    async def dump_tokens(self, request: web.Request) -> web.Response:
+        try:
+            data = await request.json()
+        except Exception:
+            return web.json_response({"error": "Invalid JSON"}, status=400)
+        text, voice, sampling, _, _ = parse_request(
+            data, self.rt.config.sampling, self.rt.config.stream
+        )
+        if not text:
+            return web.json_response({"error": "No text provided"}, status=400)
+        if self._busy():
+            return web.json_response({"error": "Generation in progress"},
+                                     status=503)
+        async with self.lock:
+            loop = asyncio.get_running_loop()
+            prompt = self.rt.pipeline.build_prompt(text, voice)
+            res = await loop.run_in_executor(
+                None, lambda: self.rt.engine.generate(prompt, sampling)
+            )
+        return web.json_response({
+            "prompt_ids": prompt,
+            "token_ids": res.token_ids,
+            "timings": res.timings,
+        })
+
+    # ---- WebSockets --------------------------------------------------------
+
+    async def ws_tts(self, request: web.Request) -> web.WebSocketResponse:
+        """Production protocol: binary PCM chunks + done JSON."""
+        ws = web.WebSocketResponse(heartbeat=30)
+        await ws.prepare(request)
+        try:
+            async for msg in ws:
+                if msg.type != WSMsgType.TEXT:
+                    continue
+                data = json.loads(msg.data)
+                text, voice, sampling, scfg, opts = parse_request(
+                    data, self.rt.config.sampling, self.rt.config.stream
+                )
+                if not text:
+                    await ws.send_json({"error": "No text provided"})
+                    continue
+                if self._busy():
+                    await ws.send_json(
+                        {"error": "Generation in progress, try again later"}
+                    )
+                    continue
+                async with self.lock:
+                    n_chunks, n_bytes = 0, 0
+                    async for chunk in self.chunk_stream(
+                        text, voice, sampling, scfg, opts["force_speech"]
+                    ):
+                        await ws.send_bytes(chunk.pcm)
+                        n_chunks += 1
+                        n_bytes += len(chunk.pcm)
+                m = self.rt.pipeline.last_metrics
+                done = {
+                    "done": True,
+                    "chunks": n_chunks,
+                    "duration_s": round(m.audio_duration_ms / 1000.0, 3),
+                    "bytes": n_bytes,
+                }
+                if opts["benchmark"]:
+                    done["server_metrics"] = m.as_wire()
+                self.requests_served += 1
+                await ws.send_json(done)
+        except Exception as e:  # noqa: BLE001
+            if not ws.closed:
+                try:
+                    await ws.send_json({"error": str(e)})
+                except Exception:
+                    pass
+        return ws
+
+    async def ws_audio(self, request: web.Request) -> web.WebSocketResponse:
+        """Legacy base64-JSON protocol (modal_audio_stream.py:448-498)."""
+        ws = web.WebSocketResponse(heartbeat=30)
+        await ws.prepare(request)
+        try:
+            async for msg in ws:
+                if msg.type != WSMsgType.TEXT:
+                    continue
+                data = json.loads(msg.data)
+                text, voice, sampling, scfg, opts = parse_request(
+                    data, self.rt.config.sampling, self.rt.config.stream
+                )
+                if not text:
+                    await ws.send_json({"error": "No text provided"})
+                    continue
+                if self._busy():
+                    await ws.send_json(
+                        {"error": "Generation in progress, try again later"}
+                    )
+                    continue
+                async with self.lock:
+                    chunk_index = 0
+                    async for chunk in self.chunk_stream(
+                        text, voice, sampling, scfg, opts["force_speech"]
+                    ):
+                        chunk_index += 1
+                        await ws.send_json({
+                            "audio": base64.b64encode(chunk.pcm).decode(),
+                            "chunk_index": chunk_index,
+                        })
+                self.requests_served += 1
+                await ws.send_json({
+                    "event": "EOS",
+                    "total_chunks": chunk_index,
+                })
+        except Exception as e:  # noqa: BLE001
+            if not ws.closed:
+                try:
+                    await ws.send_json({"error": str(e)})
+                except Exception:
+                    pass
+        return ws
+
+    async def ws_tokens(self, request: web.Request) -> web.WebSocketResponse:
+        """Token-debug stream (modal_audio_stream.py:675-722): raw token ids
+        as JSON messages, then EOS summary."""
+        ws = web.WebSocketResponse(heartbeat=30)
+        await ws.prepare(request)
+        try:
+            async for msg in ws:
+                if msg.type != WSMsgType.TEXT:
+                    continue
+                data = json.loads(msg.data)
+                text, voice, sampling, _, _ = parse_request(
+                    data, self.rt.config.sampling, self.rt.config.stream
+                )
+                if not text:
+                    await ws.send_json({"error": "No text provided"})
+                    continue
+                if self._busy():
+                    await ws.send_json(
+                        {"error": "Generation in progress, try again later"}
+                    )
+                    continue
+                async with self.lock:
+                    loop = asyncio.get_running_loop()
+                    prompt = self.rt.pipeline.build_prompt(text, voice)
+                    total = 0
+
+                    q: asyncio.Queue = asyncio.Queue()
+
+                    def worker():
+                        try:
+                            for tok_chunk in self.rt.engine.stream(
+                                prompt, sampling
+                            ):
+                                asyncio.run_coroutine_threadsafe(
+                                    q.put(tok_chunk), loop
+                                ).result()
+                        finally:
+                            asyncio.run_coroutine_threadsafe(
+                                q.put(None), loop
+                            ).result()
+
+                    task = loop.run_in_executor(None, worker)
+                    while True:
+                        tok_chunk = await q.get()
+                        if tok_chunk is None:
+                            break
+                        total += len(tok_chunk)
+                        await ws.send_json({"tokens": tok_chunk})
+                    await task
+                await ws.send_json({"event": "EOS", "total_tokens": total})
+        except Exception as e:  # noqa: BLE001
+            if not ws.closed:
+                try:
+                    await ws.send_json({"error": str(e)})
+                except Exception:
+                    pass
+        return ws
+
+
+def create_app(runtime) -> web.Application:
+    server = Server(runtime)
+    app = web.Application()
+    app["server"] = server
+    app.add_routes([
+        web.get("/", server.index),
+        web.get("/health", server.health),
+        web.get("/test", server.test_page),
+        web.post("/generate", server.generate),
+        web.post("/generate-batch", server.generate_batch),
+        web.post("/dump-tokens", server.dump_tokens),
+        web.get("/ws/tts", server.ws_tts),
+        web.get("/ws/audio", server.ws_audio),
+        web.get("/ws", server.ws_tokens),
+    ])
+    return app
+
+
+def run_app(runtime, host: str = "0.0.0.0", port: int = 8000) -> None:
+    web.run_app(create_app(runtime), host=host, port=port)
+
+
+TEST_PAGE = """<!doctype html>
+<html><head><title>tts_inference_tpu</title></head>
+<body style="font-family: sans-serif; max-width: 640px; margin: 2em auto">
+<h2>TPU TTS — streaming test client</h2>
+<textarea id="text" rows="3" style="width:100%">Hello from the TPU.</textarea>
+<div>
+  voice <input id="voice" value="tara"/>
+  <button onclick="go()">Speak</button>
+  <span id="status"></span>
+</div>
+<script>
+async function go() {
+  const status = document.getElementById('status');
+  const ws = new WebSocket((location.protocol === 'https:' ? 'wss://' : 'ws://') + location.host + '/ws/tts');
+  const ctx = new (window.AudioContext || window.webkitAudioContext)({sampleRate: 24000});
+  let t = ctx.currentTime;
+  ws.binaryType = 'arraybuffer';
+  ws.onopen = () => {
+    status.textContent = 'generating…';
+    ws.send(JSON.stringify({
+      text: document.getElementById('text').value,
+      voice: document.getElementById('voice').value,
+    }));
+  };
+  ws.onmessage = (ev) => {
+    if (typeof ev.data === 'string') {
+      const m = JSON.parse(ev.data);
+      if (m.done) { status.textContent = 'done: ' + m.chunks + ' chunks, ' + m.duration_s + 's'; ws.close(); }
+      if (m.error) { status.textContent = 'error: ' + m.error; ws.close(); }
+      return;
+    }
+    const pcm = new Int16Array(ev.data);
+    const buf = ctx.createBuffer(1, pcm.length, 24000);
+    const ch = buf.getChannelData(0);
+    for (let i = 0; i < pcm.length; i++) ch[i] = pcm[i] / 32767;
+    const src = ctx.createBufferSource();
+    src.buffer = buf; src.connect(ctx.destination);
+    t = Math.max(t, ctx.currentTime + 0.05);
+    src.start(t); t += buf.duration;
+  };
+}
+</script></body></html>
+"""
