@@ -1,0 +1,155 @@
+"""Continuous-batching scheduler tests (tiny runtime, CPU).
+
+BASELINE.json config #4 is "1–64 concurrent streams with continuous
+batching"; these tests check the correctness half: isolation under churn,
+fairness, cancellation, and bit-identical output vs the single-stream path.
+"""
+
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+from tts_inference_tpu import protocol as P
+from tts_inference_tpu.config import SamplingConfig, StreamConfig, tiny_config
+from tts_inference_tpu.engine.scheduler import Scheduler, TTSRequest
+from tts_inference_tpu.runtime import create_tiny_runtime
+
+AUDIO_RANGE = (P.TOKEN_AUDIO_BASE, P.TOKEN_AUDIO_BASE + P.AUDIO_VOCAB)
+SCFG = StreamConfig(frames_per_chunk=2, lookahead_frames=3,
+                    left_context_frames=4)
+
+
+def mk_sampling(seed, max_tokens=35):
+    return SamplingConfig(
+        max_tokens=max_tokens, seed=seed, token_range=AUDIO_RANGE
+    )
+
+
+def mk_req(text, seed, max_tokens=35):
+    return TTSRequest(
+        text=text, sampling=mk_sampling(seed, max_tokens),
+        stream_cfg=SCFG, force_speech=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def rt():
+    return create_tiny_runtime(seed=0)
+
+
+@pytest.fixture(scope="module")
+def sched(rt):
+    s = Scheduler(
+        rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer
+    )
+    yield s
+
+
+def drain(req, timeout=300):
+    chunks = []
+    while True:
+        kind, payload = req.events.get(timeout=timeout)
+        if kind == "chunk":
+            chunks.append(payload.pcm)
+        elif kind == "done":
+            return b"".join(chunks), payload
+        else:
+            raise AssertionError(payload)
+
+
+def run_until_idle(sched, max_iters=2000):
+    for _ in range(max_iters):
+        if not sched.step() and sched.pending.empty():
+            return
+    raise AssertionError("scheduler did not drain")
+
+
+def test_single_request_matches_single_stream_engine(rt, sched):
+    req = mk_req("match me", seed=11)
+    sched.submit(req)
+    run_until_idle(sched)
+    pcm, metrics = drain(req)
+    assert metrics.tokens == 35 and metrics.frames == 5
+
+    # identical request through the single-stream pipeline
+    offline, m2 = rt.pipeline.synthesize(
+        "match me", "tara", mk_sampling(11), SCFG, force_speech=True
+    )
+    assert m2.tokens == 35
+    np.testing.assert_array_equal(
+        np.frombuffer(pcm, np.int16), np.frombuffer(offline, np.int16)
+    )
+
+
+def test_concurrent_requests_all_complete(sched):
+    reqs = [mk_req(f"req {i}", seed=100 + i, max_tokens=21 + 7 * i)
+            for i in range(6)]  # 6 requests > 4 slots → queueing
+    for r in reqs:
+        sched.submit(r)
+    run_until_idle(sched)
+    for i, r in enumerate(reqs):
+        pcm, m = drain(r)
+        assert m.tokens == 21 + 7 * i, (i, m.tokens)
+        assert len(pcm) == (m.tokens // 7) * P.SAMPLES_PER_FRAME * 2
+
+
+def test_isolation_under_churn(rt, sched):
+    """A request's audio must be identical whether it runs alone or while
+    neighbors are admitted/evicted around it — the masked-write property."""
+    solo = mk_req("isolation probe", seed=42, max_tokens=42)
+    sched.submit(solo)
+    run_until_idle(sched)
+    want, _ = drain(solo)
+
+    probe = mk_req("isolation probe", seed=42, max_tokens=42)
+    noise = [mk_req(f"noise {i}", seed=7 + i, max_tokens=14 + 7 * (i % 3))
+             for i in range(8)]
+    sched.submit(noise[0])
+    sched.submit(probe)
+    for r in noise[1:]:
+        sched.submit(r)
+    run_until_idle(sched)
+    got, _ = drain(probe)
+    for r in noise:
+        drain(r)
+    np.testing.assert_array_equal(
+        np.frombuffer(got, np.int16), np.frombuffer(want, np.int16)
+    )
+
+
+def test_cancellation_frees_slot(sched):
+    req = mk_req("cancel me", seed=9, max_tokens=10**6)
+    req.sampling = SamplingConfig(max_tokens=7 * 50, seed=9,
+                                  token_range=AUDIO_RANGE)
+    sched.submit(req)
+    sched.step()   # admit
+    req.cancel()
+    sched.step()   # notices cancel, frees slot
+    kinds = []
+    while True:
+        try:
+            kind, _ = req.events.get_nowait()
+            kinds.append(kind)
+            if kind == "done":
+                break
+        except queue.Empty:
+            break
+    assert "done" in kinds
+    assert sched.n_active == 0
+
+
+def test_threaded_run_loop(sched):
+    sched.start()
+    try:
+        reqs = [mk_req(f"threaded {i}", seed=200 + i) for i in range(3)]
+        outs = []
+        for r in reqs:
+            sched.submit(r)
+        for r in reqs:
+            pcm, m = drain(r, timeout=300)
+            outs.append((pcm, m))
+        assert all(m.tokens == 35 for _, m in outs)
+    finally:
+        sched.stop()

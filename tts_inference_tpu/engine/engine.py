@@ -99,11 +99,23 @@ class EngineCore:
         model_cfg, params, tokens, lens, cache, sstate, sparams, slot_mask
     ):
         """Prefill `tokens` (B, S bucket) for slots where slot_mask; sample
-        the first generated token. Returns (tok, cache, sstate)."""
+        the first generated token. Returns (tok, cache, sstate).
+
+        Slots outside slot_mask are fully untouched: forward() masks their
+        cache writes (seg 0) and their sampling state rows are restored —
+        continuous batching admits new requests without perturbing
+        mid-generation neighbors.
+        """
         seg = jnp.where(slot_mask, lens, 0)
         logits, cache = llama.prefill(params, model_cfg, tokens, seg, cache)
-        sstate = S.mark_prompt(sstate, tokens, seg)
-        tok, sstate = S.sample(logits, sparams, sstate)
+        marked = S.mark_prompt(sstate, tokens, seg)
+        tok, new_state = S.sample(logits, sparams, marked)
+        sstate = S.SamplingState(
+            presence=jnp.where(
+                slot_mask[:, None], new_state.presence, sstate.presence
+            ),
+            key=jnp.where(slot_mask[:, None], new_state.key, sstate.key),
+        )
         return tok, cache, sstate
 
     @staticmethod

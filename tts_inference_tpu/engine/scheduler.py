@@ -1,0 +1,332 @@
+"""Continuous-batching scheduler: multi-stream serving over one decode graph.
+
+The capability the reference lacks and its roadmap demands (SURVEY.md §2.3:
+`max_batch_size=1` engines + a global lock, ~5 concurrent users documented;
+"Scale to ~100 concurrent users" is the stated goal, spec.md:137-139).
+
+Design — fixed-shape batched state with insertion/eviction masks:
+
+- One `EngineCore` with B slots; ONE compiled decode graph serves any mix of
+  requests (per-slot sampling params are runtime arrays, not shapes).
+- Admission: pending requests batch-prefill into free slots in a single
+  jitted call; `forward` masks cache writes and the sampling state restores
+  untouched rows, so neighbors mid-generation are unperturbed (the property
+  tested in tests/test_scheduler.py::test_isolation_under_churn).
+- Each scheduler tick runs `decode_steps_per_call` tokens for ALL active
+  slots, then distributes tokens through per-request SOS/EOS extractors and
+  windowed lookahead vocoder decoders; PCM chunks land on per-request
+  thread-safe queues the serving layer drains.
+- Eviction: EOS / max_tokens / cancel frees the slot immediately (the
+  `engine.abort` analog, `modal_audio_stream.py:335-336`); no IPC, no
+  subprocess — the reference's engine-core crash mode is gone by
+  construction (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from tts_inference_tpu import protocol
+from tts_inference_tpu.config import Config, SamplingConfig, StreamConfig
+from tts_inference_tpu.engine.engine import EngineCore
+from tts_inference_tpu.models.snac import SnacDecoder
+from tts_inference_tpu.ops import sampling as S
+from tts_inference_tpu.streaming.lookahead import LookaheadStreamingDecoder
+from tts_inference_tpu.streaming.pipeline import AudioChunk, StreamMetrics
+from tts_inference_tpu.utils.audio import pcm16_bytes
+from tts_inference_tpu.utils.tokenizer import TokenizerProtocol
+
+_req_counter = itertools.count(1)
+
+
+@dataclasses.dataclass
+class TTSRequest:
+    """A queued/streaming synthesis request.
+
+    Consumers drain `events`: ("chunk", AudioChunk)* then ("done",
+    StreamMetrics) — or ("error", message). Thread-safe.
+    """
+
+    text: str
+    voice: str = "tara"
+    sampling: SamplingConfig = dataclasses.field(default_factory=SamplingConfig)
+    stream_cfg: StreamConfig = dataclasses.field(default_factory=StreamConfig)
+    force_speech: bool = False
+    noise_seed: int = 0
+
+    id: int = dataclasses.field(default_factory=lambda: next(_req_counter))
+    events: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
+    submitted_at: float = dataclasses.field(default_factory=time.perf_counter)
+    cancelled: bool = False
+
+    def cancel(self) -> None:
+        self.cancelled = True
+
+    def iter_chunks(self, timeout: Optional[float] = None):
+        """Blocking iterator over audio chunks; returns on done/error."""
+        while True:
+            kind, payload = self.events.get(timeout=timeout)
+            if kind == "chunk":
+                yield payload
+            elif kind == "done":
+                return
+            else:
+                raise RuntimeError(payload)
+
+
+class _SlotState:
+    """Host-side per-slot runtime while a request occupies a slot."""
+
+    def __init__(self, req: TTSRequest, scheduler: "Scheduler"):
+        self.req = req
+        self.extractor = protocol.TokenExtractor(
+            restart_on_sos=(req.stream_cfg.extraction == "last_sos")
+        )
+        if req.force_speech:
+            self.extractor.started = True
+        self.lookahead = LookaheadStreamingDecoder(
+            scheduler.vocoder, req.stream_cfg, req.noise_seed
+        )
+        self.metrics = StreamMetrics()
+        self.produced = 0
+        self.chunk_index = 0
+        self.t0 = time.perf_counter()
+
+    def _ms(self) -> float:
+        return (time.perf_counter() - self.t0) * 1000.0
+
+    def on_tokens(self, tokens: List[int], eos_id: int) -> bool:
+        """Feed decoded tokens; returns True when the request is finished."""
+        if self.req.cancelled:
+            self.finish()
+            return True
+        if not self.metrics.ttft_ms:
+            self.metrics.ttft_ms = self._ms()
+        finished = False
+        budget = self.req.sampling.max_tokens - self.produced
+        row: List[int] = []
+        for t in tokens[:budget]:
+            row.append(t)
+            if t == eos_id:
+                finished = True
+                break
+        self.produced += len(row)
+        self.metrics.tokens = self.produced
+        codes = self.extractor.feed_many(row)
+        if codes:
+            self.lookahead.feed(codes)
+            t0 = time.perf_counter()
+            out = self.lookahead.poll()
+            if out is not None and len(out):
+                self.metrics.decode_times_ms.append(
+                    (time.perf_counter() - t0) * 1000.0
+                )
+                self._emit(out)
+        if self.extractor.finished:
+            finished = True
+        if self.produced >= self.req.sampling.max_tokens:
+            finished = True
+        if finished:
+            self.finish()
+        return finished
+
+    def _emit(self, samples: np.ndarray) -> None:
+        if not self.metrics.ttfa_ms:
+            self.metrics.ttfa_ms = self._ms()
+        self.chunk_index += 1
+        self.metrics.chunks = self.chunk_index
+        self.metrics.audio_duration_ms += (
+            len(samples) / protocol.SAMPLE_RATE * 1000.0
+        )
+        self.req.events.put(("chunk", AudioChunk(
+            pcm16_bytes(samples), self.chunk_index, len(samples)
+        )))
+
+    def finish(self) -> None:
+        if not self.req.cancelled:
+            t0 = time.perf_counter()
+            tail = self.lookahead.flush()
+            if tail is not None and len(tail):
+                self.metrics.decode_times_ms.append(
+                    (time.perf_counter() - t0) * 1000.0
+                )
+                self._emit(tail)
+        self.metrics.frames = self.lookahead.total_frames
+        self.metrics.generation_time_ms = self._ms()
+        self.metrics.ttfa_ms = self.metrics.ttfa_ms or self.metrics.generation_time_ms
+        self.req.events.put(("done", self.metrics.finalize()))
+
+
+class Scheduler:
+    """Fixed-slot continuous batching over one EngineCore."""
+
+    def __init__(
+        self,
+        params,
+        config: Config,
+        vocoder: SnacDecoder,
+        tokenizer: TokenizerProtocol,
+        *,
+        eos_id: int = protocol.TOKEN_EOS,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.vocoder = vocoder
+        self.tokenizer = tokenizer
+        self.eos_id = eos_id
+        self.core = EngineCore(
+            params, config.model, config.engine, eos_id=eos_id, seed=seed
+        )
+        b = self.core.batch
+        self.slots: List[Optional[_SlotState]] = [None] * b
+        self.pending: "queue.Queue[TTSRequest]" = queue.Queue()
+        self._last_tok = np.zeros(b, np.int32)
+        self._active = np.zeros(b, bool)
+        # per-slot sampling knobs (host mirrors, rebuilt into device arrays)
+        self._sp = {
+            "temperature": np.full(b, 0.6, np.float32),
+            "top_p": np.full(b, 0.95, np.float32),
+            "top_k": np.zeros(b, np.int32),
+            "repetition_penalty": np.full(b, 1.1, np.float32),
+            "allowed_min": np.zeros(b, np.int32),
+            "allowed_max": np.zeros(b, np.int32),
+        }
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._wakeup = threading.Event()
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, req: TTSRequest) -> TTSRequest:
+        self.pending.put(req)
+        self._wakeup.set()
+        return req
+
+    def synthesize_request(self, req: TTSRequest):
+        """Submit + blocking chunk iterator (single call-site convenience)."""
+        self.submit(req)
+        return req.iter_chunks(timeout=self.config.server.request_timeout_s)
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self.run_forever, name="tts-scheduler", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._wakeup.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    @property
+    def n_active(self) -> int:
+        return int(self._active.sum())
+
+    # -- scheduler loop -------------------------------------------------------
+
+    def _sampling_params(self) -> S.SamplingParams:
+        import jax.numpy as jnp
+
+        return S.SamplingParams(
+            temperature=jnp.asarray(self._sp["temperature"]),
+            top_p=jnp.asarray(self._sp["top_p"]),
+            top_k=jnp.asarray(self._sp["top_k"]),
+            repetition_penalty=jnp.asarray(self._sp["repetition_penalty"]),
+            allowed_min=jnp.asarray(self._sp["allowed_min"]),
+            allowed_max=jnp.asarray(self._sp["allowed_max"]),
+        )
+
+    def _admit(self) -> None:
+        free = [i for i, s in enumerate(self.slots) if s is None]
+        batch: List[tuple] = []
+        while free and not self.pending.empty():
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                break
+            if req.cancelled:
+                req.events.put(("done", StreamMetrics()))
+                continue
+            slot = free.pop(0)
+            batch.append((slot, req))
+        if not batch:
+            return
+        prompts, slots_idx, seeds = [], [], []
+        for slot, req in batch:
+            state = _SlotState(req, self)
+            self.slots[slot] = state
+            ids = self.tokenizer.encode(
+                protocol.format_prompt_text(
+                    req.text[: protocol.MAX_TEXT_CHARS], req.voice
+                )
+            )
+            prompts.append(protocol.format_prompt_ids(
+                ids, force_speech=req.force_speech
+            ))
+            slots_idx.append(slot)
+            seeds.append(req.sampling.seed if req.sampling.seed is not None
+                         else req.id)
+            sp = req.sampling
+            self._sp["temperature"][slot] = 0.0 if sp.greedy else sp.temperature
+            self._sp["top_p"][slot] = sp.top_p
+            self._sp["top_k"][slot] = 1 if sp.greedy else sp.top_k
+            self._sp["repetition_penalty"][slot] = sp.repetition_penalty
+            lo, hi = sp.token_range or (0, 0)
+            self._sp["allowed_min"][slot] = lo
+            self._sp["allowed_max"][slot] = hi
+        self.core.seed_slots(slots_idx, seeds)
+        first = self.core.prefill_slots(
+            prompts, slots_idx, self._sampling_params()
+        )
+        for slot, req in batch:
+            self._last_tok[slot] = first[slot]
+            self._active[slot] = True
+            state = self.slots[slot]
+            assert state is not None
+            if state.on_tokens([int(first[slot])], self.eos_id):
+                self._release(slot)
+
+    def _release(self, slot: int) -> None:
+        self.slots[slot] = None
+        self._active[slot] = False
+
+    def step(self) -> bool:
+        """One scheduler iteration; returns True if any work was done."""
+        self._admit()
+        if not self._active.any():
+            return False
+        toks, last, active = self.core.decode_steps(
+            self._sampling_params(), self._last_tok, self._active
+        )
+        self._last_tok = np.array(last)  # writable copy (admission mutates)
+        for slot, state in enumerate(self.slots):
+            if state is None or not self._active[slot]:
+                continue
+            finished = state.on_tokens(
+                [int(t) for t in toks[slot]], self.eos_id
+            )
+            # device-side EOS/max-seq freeze also ends the slot
+            if finished or not active[slot]:
+                if not finished:
+                    state.finish()
+                self._release(slot)
+        return True
+
+    def run_forever(self) -> None:
+        while not self._stop.is_set():
+            did_work = self.step()
+            if not did_work:
+                self._wakeup.wait(timeout=0.01)
+                self._wakeup.clear()

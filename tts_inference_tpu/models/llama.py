@@ -195,6 +195,7 @@ def _layer(
     cache_v: jnp.ndarray,
     write_pos: jnp.ndarray,      # (B,) int32 — where this chunk starts
     mask: jnp.ndarray,           # (B, S, max_seq)
+    write_mask: jnp.ndarray,     # (B,) bool — slots this call may mutate
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, s, _ = x.shape
     hd, nq, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
@@ -206,11 +207,14 @@ def _layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # scatter this chunk into the cache at per-slot write_pos
+    # scatter this chunk into the cache at per-slot write_pos — but only for
+    # slots in write_mask (continuous batching: prefilling one slot must not
+    # clobber the cache of a slot that is mid-generation)
     def write(c, new):
-        def one(cb, nb, p):
-            return jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
-        return jax.vmap(one)(c, new, write_pos)
+        def one(cb, nb, p, wm):
+            upd = jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
+            return jnp.where(wm, upd, cb)
+        return jax.vmap(one)(c, new, write_pos, write_mask)
 
     cache_k = write(cache_k, k.astype(cache_k.dtype))
     cache_v = write(cache_v, v.astype(cache_v.dtype))
@@ -252,13 +256,14 @@ def forward(
     kv_idx = jnp.arange(max_seq, dtype=jnp.int32)
     mask = kv_idx[None, None, :] <= positions[:, :, None]
 
+    write_mask = seg_lens > 0
     x = params["embed"][tokens].astype(param_dtype(cfg))
 
     new_k, new_v = [], []
     for li, lp in enumerate(params["layers"]):
         x, ck, cv = _layer(
             lp, cfg, x, cos, sin,
-            cache.k[li], cache.v[li], write_pos, mask,
+            cache.k[li], cache.v[li], write_pos, mask, write_mask,
         )
         new_k.append(ck)
         new_v.append(cv)

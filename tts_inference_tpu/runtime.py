@@ -24,12 +24,15 @@ from tts_inference_tpu.streaming.pipeline import TTSPipeline
 from tts_inference_tpu.utils.tokenizer import ByteTokenizer, load_tokenizer
 
 
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/tts_inference_tpu/xla")
+
+
 def enable_compilation_cache(cache_dir: Optional[str]) -> None:
     """Persistent XLA compilation cache — the analog of the reference's saved
     TRT engine dir (`build_engine.py:149-150`): pay compile once, reload in
-    seconds on warm start."""
-    if not cache_dir:
-        return
+    seconds on warm start. Always on (the 3B graphs take minutes to compile
+    through the remote-compile tunnel); pass a dir to relocate it."""
+    cache_dir = cache_dir or DEFAULT_CACHE_DIR
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
