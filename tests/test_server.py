@@ -250,3 +250,45 @@ def test_ws_tts_streaming_equals_batch_decode(client, rt):
     np.testing.assert_array_equal(
         np.frombuffer(wire, np.int16), np.frombuffer(offline, np.int16)
     )
+
+
+def test_multistream_concurrent_ws(rt):
+    """Scheduler mode: two concurrent WS streams both complete with correct
+    audio (no 503, no interleaving corruption)."""
+    from tts_inference_tpu.engine.scheduler import Scheduler
+
+    sched = Scheduler(
+        rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer
+    )
+    sched.start()
+    loop = asyncio.new_event_loop()
+    app = create_app(rt, scheduler=sched)
+    c = TestClient(TestServer(app), loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        async def one(seed, max_tokens):
+            ws = await c.ws_connect("/ws/tts")
+            await ws.send_json({**REQ, "seed": seed, "max_tokens": max_tokens})
+            chunks = []
+            while True:
+                msg = await ws.receive(timeout=300)
+                if msg.type == WSMsgType.BINARY:
+                    chunks.append(msg.data)
+                else:
+                    data = json.loads(msg.data)
+                    assert "error" not in data, data
+                    if data.get("done"):
+                        break
+            await ws.close()
+            return b"".join(chunks)
+
+        async def both():
+            return await asyncio.gather(one(21, 35), one(22, 70))
+
+        a, b = loop.run_until_complete(both())
+        assert len(a) == 5 * P.SAMPLES_PER_FRAME * 2
+        assert len(b) == 10 * P.SAMPLES_PER_FRAME * 2
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
+        sched.stop()

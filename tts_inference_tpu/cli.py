@@ -121,7 +121,15 @@ def cmd_serve(args) -> int:
     from tts_inference_tpu.serving.app import run_app
 
     rt = _build_runtime(args)
-    run_app(rt, host=args.host, port=args.port)
+    scheduler = None
+    if args.multi_stream:
+        from tts_inference_tpu.engine.scheduler import Scheduler
+
+        scheduler = Scheduler(
+            rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
+            seed=args.seed,
+        )
+    run_app(rt, host=args.host, port=args.port, scheduler=scheduler)
     return 0
 
 
@@ -158,10 +166,12 @@ def main(argv=None) -> int:
     a.add_argument("--build-info", default="build_info.json")
     a.set_defaults(fn=cmd_aot_compile)
 
-    s = sub.add_parser("serve", help="FastAPI WS/HTTP server")
+    s = sub.add_parser("serve", help="HTTP/WS streaming server")
     _add_runtime_args(s)
     s.add_argument("--host", default="0.0.0.0")
     s.add_argument("--port", type=int, default=8000)
+    s.add_argument("--multi-stream", action="store_true",
+                   help="continuous-batching scheduler (concurrent streams)")
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

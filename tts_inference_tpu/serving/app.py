@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import asyncio
 import base64
+import contextlib
 import dataclasses
 import json
 import time
@@ -82,11 +83,13 @@ def parse_request(data: dict, defaults: SamplingConfig,
 
 
 class Server:
-    def __init__(self, runtime):
+    def __init__(self, runtime, scheduler=None):
         self.rt = runtime
+        self.scheduler = scheduler            # multi-stream mode when set
         self.lock = asyncio.Lock()
         self.started_at = time.time()
         self.requests_served = 0
+        self._last_metrics = None
 
     # ---- generation bridge (blocking device loop → async chunks) ---------
 
@@ -94,6 +97,12 @@ class Server:
         self, text: str, voice: str, sampling: SamplingConfig,
         stream_cfg: StreamConfig, force_speech: bool,
     ) -> AsyncIterator:
+        if self.scheduler is not None:
+            async for chunk in self._scheduler_stream(
+                text, voice, sampling, stream_cfg, force_speech
+            ):
+                yield chunk
+            return
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue(maxsize=64)
         DONE, ERR = object(), object()
@@ -107,6 +116,7 @@ class Server:
                     asyncio.run_coroutine_threadsafe(
                         q.put(("chunk", chunk)), loop
                     ).result()
+                self._last_metrics = self.rt.pipeline.last_metrics
                 asyncio.run_coroutine_threadsafe(q.put((DONE, None)), loop).result()
             except Exception as e:  # noqa: BLE001 — surfaced to the client
                 asyncio.run_coroutine_threadsafe(q.put((ERR, e)), loop).result()
@@ -122,6 +132,48 @@ class Server:
                 yield payload
         finally:
             await task
+
+    async def _scheduler_stream(
+        self, text, voice, sampling, stream_cfg, force_speech
+    ) -> AsyncIterator:
+        """Multi-stream path: submit to the continuous-batching scheduler and
+        drain the request's event queue without blocking the event loop."""
+        from tts_inference_tpu.engine.scheduler import TTSRequest
+
+        req = TTSRequest(
+            text=text, voice=voice, sampling=sampling,
+            stream_cfg=stream_cfg, force_speech=force_speech,
+        )
+        self.scheduler.submit(req)
+        loop = asyncio.get_running_loop()
+        try:
+            while True:
+                kind, payload = await loop.run_in_executor(
+                    None, req.events.get,
+                    True, self.rt.config.server.request_timeout_s,
+                )
+                if kind == "chunk":
+                    yield payload
+                elif kind == "done":
+                    self._last_metrics = payload
+                    return
+                else:
+                    raise RuntimeError(payload)
+        except BaseException:
+            req.cancel()
+            raise
+
+    def metrics(self):
+        if self.scheduler is not None:
+            return self._last_metrics
+        return self.rt.pipeline.last_metrics
+
+    def _slot(self):
+        """Serialize on the single-stream engine; no-op under the scheduler
+        (requests queue into slots instead)."""
+        if self.scheduler is not None:
+            return contextlib.nullcontext()
+        return self.lock
 
     # ---- HTTP ------------------------------------------------------------
 
@@ -144,6 +196,9 @@ class Server:
         return web.Response(text=TEST_PAGE, content_type="text/html")
 
     def _busy(self) -> bool:
+        # scheduler mode queues requests instead of rejecting them
+        if self.scheduler is not None:
+            return False
         return self.lock.locked()
 
     async def generate(self, request: web.Request) -> web.Response:
@@ -162,7 +217,7 @@ class Server:
                 {"error": "Generation in progress, try again later"},
                 status=503,
             )
-        async with self.lock:
+        async with self._slot():
             t0 = time.perf_counter()
             chunks = []
             async for chunk in self.chunk_stream(
@@ -170,7 +225,7 @@ class Server:
             ):
                 chunks.append(chunk.pcm)
             total_ms = (time.perf_counter() - t0) * 1000.0
-        m = self.rt.pipeline.last_metrics
+        m = self.metrics()
         pcm = b"".join(chunks)
         if not pcm:
             return web.json_response(
@@ -212,7 +267,7 @@ class Server:
         scfg = dataclasses.replace(
             self.rt.config.stream, frames_per_chunk=10**9
         )
-        async with self.lock:
+        async with self._slot():
             t0 = time.perf_counter()
             chunks = []
             async for chunk in self.chunk_stream(
@@ -220,7 +275,7 @@ class Server:
             ):
                 chunks.append(chunk.pcm)
             total_ms = (time.perf_counter() - t0) * 1000.0
-        m = self.rt.pipeline.last_metrics
+        m = self.metrics()
         pcm = b"".join(chunks)
         if not pcm:
             return web.json_response(
@@ -252,7 +307,7 @@ class Server:
         if self._busy():
             return web.json_response({"error": "Generation in progress"},
                                      status=503)
-        async with self.lock:
+        async with self._slot():
             loop = asyncio.get_running_loop()
             prompt = self.rt.pipeline.build_prompt(text, voice)
             res = await loop.run_in_executor(
@@ -286,7 +341,7 @@ class Server:
                         {"error": "Generation in progress, try again later"}
                     )
                     continue
-                async with self.lock:
+                async with self._slot():
                     n_chunks, n_bytes = 0, 0
                     async for chunk in self.chunk_stream(
                         text, voice, sampling, scfg, opts["force_speech"]
@@ -294,7 +349,7 @@ class Server:
                         await ws.send_bytes(chunk.pcm)
                         n_chunks += 1
                         n_bytes += len(chunk.pcm)
-                m = self.rt.pipeline.last_metrics
+                m = self.metrics()
                 done = {
                     "done": True,
                     "chunks": n_chunks,
@@ -333,7 +388,7 @@ class Server:
                         {"error": "Generation in progress, try again later"}
                     )
                     continue
-                async with self.lock:
+                async with self._slot():
                     chunk_index = 0
                     async for chunk in self.chunk_stream(
                         text, voice, sampling, scfg, opts["force_speech"]
@@ -377,7 +432,7 @@ class Server:
                         {"error": "Generation in progress, try again later"}
                     )
                     continue
-                async with self.lock:
+                async with self._slot():
                     loop = asyncio.get_running_loop()
                     prompt = self.rt.pipeline.build_prompt(text, voice)
                     total = 0
@@ -415,8 +470,8 @@ class Server:
         return ws
 
 
-def create_app(runtime) -> web.Application:
-    server = Server(runtime)
+def create_app(runtime, scheduler=None) -> web.Application:
+    server = Server(runtime, scheduler)
     app = web.Application()
     app["server"] = server
     app.add_routes([
@@ -433,8 +488,15 @@ def create_app(runtime) -> web.Application:
     return app
 
 
-def run_app(runtime, host: str = "0.0.0.0", port: int = 8000) -> None:
-    web.run_app(create_app(runtime), host=host, port=port)
+def run_app(runtime, host: str = "0.0.0.0", port: int = 8000,
+            scheduler=None) -> None:
+    if scheduler is not None:
+        scheduler.start()
+    try:
+        web.run_app(create_app(runtime, scheduler), host=host, port=port)
+    finally:
+        if scheduler is not None:
+            scheduler.stop()
 
 
 TEST_PAGE = """<!doctype html>
