@@ -1,0 +1,68 @@
+"""Optional W&B logging (reference: project `orpheus-tts-benchmark`,
+benchmark_with_wandb.py:372-490). wandb is not in this image — gate it and
+fall back to local JSON artifacts so every run leaves an inspectable record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class RunLogger:
+    """wandb.Run-shaped logger: log(), summary, log_image(), finish().
+
+    With wandb installed and WANDB_API_KEY set it logs there; otherwise it
+    writes <out_dir>/wandb_offline.json with the same content.
+    """
+
+    def __init__(self, project: str, name: Optional[str] = None,
+                 out_dir: str = "bench_out", config: Optional[dict] = None):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._records = []
+        self._images = []
+        self.summary: dict = {}
+        self._wandb = None
+        try:
+            import wandb  # noqa: F401 — optional
+
+            if os.environ.get("WANDB_API_KEY") or os.environ.get("WANDB_MODE"):
+                self._wandb = wandb.init(
+                    project=project, name=name, config=config or {}
+                )
+        except ImportError:
+            pass
+        self.project, self.name, self.config = project, name, config or {}
+
+    def log(self, data: dict, step: Optional[int] = None) -> None:
+        self._records.append({"step": step, **data})
+        if self._wandb is not None:
+            self._wandb.log(data, step=step)
+
+    def log_image(self, key: str, path: str) -> None:
+        self._images.append({key: path})
+        if self._wandb is not None:
+            import wandb
+
+            self._wandb.log({key: wandb.Image(path)})
+
+    def finish(self) -> str:
+        out = os.path.join(self.out_dir, "wandb_offline.json")
+        with open(out, "w") as f:
+            json.dump({
+                "project": self.project,
+                "name": self.name,
+                "config": self.config,
+                "created": time.time(),
+                "records": self._records,
+                "images": self._images,
+                "summary": self.summary,
+            }, f, indent=2, default=str)
+        if self._wandb is not None:
+            for k, v in self.summary.items():
+                self._wandb.summary[k] = v
+            self._wandb.finish()
+        return out

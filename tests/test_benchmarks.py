@@ -1,0 +1,131 @@
+"""Benchmark-suite tests: metric math, verdict gates, synthetic fixture,
+and a live end-to-end run of the WS client against the tiny server."""
+
+import asyncio
+import os
+import random
+
+import pytest
+
+from benchmarks import metrics as M
+from benchmarks.demo_plots import synth_result
+from benchmarks.metrics import ChunkEvent, RunResult
+
+
+def mk_result(rtf=1.2, max_gap=150.0, ttfa=500.0, n=6, cold=False):
+    events = [ChunkEvent(1, ttfa, 2048 * 2, 0.0)]
+    t = ttfa
+    for c in range(2, n + 1):
+        gap = max_gap if c == 3 else 100.0
+        t += gap
+        events.append(ChunkEvent(c, t, 2048 * 2, gap))
+    audio_ms = n * (2048 / 24000 * 1000)
+    return RunResult(
+        prompt_id="t", client_ttfa_ms=ttfa, client_wall_ms=audio_ms / rtf,
+        audio_duration_ms=audio_ms, total_chunks=n, total_bytes=n * 4096,
+        chunk_events=events, is_cold_start=cold,
+    )
+
+
+def test_calc_stats():
+    s = M.calc_stats([1, 2, 3, 4, 100])
+    assert s["mean"] == 22 and s["min"] == 1 and s["max"] == 100
+    assert s["p50"] == 3
+    assert M.calc_stats([])["mean"] == 0.0
+
+
+def test_verdict_gates():
+    assert M.verdict([mk_result(rtf=1.2, max_gap=150)]) == "GOOD"
+    assert M.verdict([mk_result(rtf=0.9, max_gap=150)]) == "ACCEPTABLE"
+    assert M.verdict([mk_result(rtf=1.2, max_gap=400)]) == "ACCEPTABLE"
+    assert M.verdict([mk_result(rtf=0.5, max_gap=150)]) == "NEEDS IMPROVEMENT"
+    assert M.verdict([]) == "NEEDS IMPROVEMENT"
+
+
+def test_stall_and_jitter():
+    r = mk_result(max_gap=250.0)
+    assert r.stalls == 1
+    assert r.jitter_ms > 0
+
+
+def test_drift_analysis():
+    slow = [mk_result(rtf=1.2) for _ in range(4)] + \
+           [mk_result(rtf=0.9) for _ in range(4)]
+    d = M.drift_analysis(slow)
+    assert d["rtf_drift_pct"] < -10
+
+
+def test_summary_cold_warm():
+    rs = [mk_result(ttfa=5000, cold=True)] + [mk_result(ttfa=500)] * 3
+    s = M.summarize(rs)
+    assert s["cold_vs_warm_ratio"] == pytest.approx(10.0)
+    assert s["verdict"] in ("GOOD", "ACCEPTABLE")
+
+
+def test_synthetic_fixture_and_plots(tmp_path):
+    from benchmarks import plots
+
+    rng = random.Random(0)
+    results = [synth_result(rng, i) for i in range(10)]
+    assert all(r.ok for r in results)
+    summary = M.summarize(results)
+    assert summary["verdict"] in ("GOOD", "ACCEPTABLE", "NEEDS IMPROVEMENT")
+    out = str(tmp_path)
+    for path in (
+        plots.timeline_plot(results[0], out),
+        plots.gap_analysis_plot(results, out),
+        plots.sweep_analysis_plot(results, out),
+        plots.per_prompt_breakdown_plot(results, out),
+    ):
+        assert os.path.getsize(path) > 1000
+    txt = plots.summary_text(summary)
+    assert "VERDICT" in txt
+
+
+def test_wandb_offline_logger(tmp_path):
+    from benchmarks.wandb_compat import RunLogger
+
+    lg = RunLogger("proj", name="run", out_dir=str(tmp_path))
+    lg.log({"x": 1}, step=0)
+    lg.summary = {"verdict": "GOOD"}
+    out = lg.finish()
+    import json
+
+    data = json.load(open(out))
+    assert data["records"][0]["x"] == 1
+    assert data["summary"]["verdict"] == "GOOD"
+
+
+@pytest.mark.slow
+def test_ws_client_against_live_server(tmp_path):
+    """End-to-end: spawn the aiohttp app in-process and run the real
+    benchmark client against it (the reference's client↔server loop)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from benchmarks.ws_client import run_single
+    from tts_inference_tpu.runtime import create_tiny_runtime
+    from tts_inference_tpu.serving.app import create_app
+
+    rt = create_tiny_runtime(seed=0)
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(create_app(rt)), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        port = client.server.port
+        url = f"ws://127.0.0.1:{port}/ws/tts"
+        wav = str(tmp_path / "bench.wav")
+        r = loop.run_until_complete(run_single(
+            url, "benchmark me", prompt_id="live", frames_per_chunk=2,
+            max_tokens=70, save_audio_to=wav,
+            extra_request={"force_speech": True, "audio_only": True,
+                           "seed": 3, "lookahead_frames": 3},
+        ))
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+    assert r.ok, r.error
+    assert r.total_chunks >= 3
+    assert r.client_ttfa_ms > 0
+    assert r.server_ttfa_ms is not None
+    assert r.audio_duration_ms == pytest.approx(10 * 2048 / 24.0, rel=0.01)
+    assert os.path.exists(wav)
