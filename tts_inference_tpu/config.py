@@ -155,7 +155,10 @@ class EngineConfig:
     max_batch_size: int = 8          # continuous-batching slots
     prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512)
     decode_steps_per_call: int = protocol.FRAME_SIZE  # host sync cadence
-    kv_page_size: int = 128          # tokens per KV page (future paged attn)
+    # KV attention-window buckets: the decode step reads only the smallest
+    # bucket covering the longest live sequence (HBM-bound step; reading all
+    # of max_seq for short sequences wastes bandwidth).
+    kv_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
     compilation_cache_dir: Optional[str] = None
 
     @property

@@ -77,26 +77,34 @@ class EngineCore:
         self.sampling_state = S.init_sampling_state(
             self.batch, model_cfg.vocab_size, seed
         )
+        # host-side upper bounds on per-slot lengths: pick the KV attention
+        # window bucket without a device sync (the decode step is HBM-bound;
+        # reading all of max_seq for short sequences wastes bandwidth)
+        self._len_bounds = np.zeros(self.batch, np.int64)
 
         # --- jitted graphs -------------------------------------------------
         # after partial-binding model_cfg (and eos_id), arg order is:
-        #   prefill: (params, tokens, lens, cache, sstate, sparams, slot_mask)
-        #   decode:  (n_steps, params, cache, sstate, sparams, last_tok, active)
+        #   prefill: (kv_window, params, tokens, lens, cache, sstate,
+        #             sparams, slot_mask)
+        #   decode:  (n_steps, kv_window, params, cache, sstate, sparams,
+        #             last_tok, active)
         self._prefill = jax.jit(
             partial(self._prefill_impl, model_cfg),
-            donate_argnums=(3, 4),
+            static_argnums=(0,),
+            donate_argnums=(4, 5),
         )
         self._decode = jax.jit(
             partial(self._decode_impl, model_cfg, eos_id),
-            static_argnums=(0,),
-            donate_argnums=(2, 3),
+            static_argnums=(0, 1),
+            donate_argnums=(3, 4),
         )
 
     # -- device code --------------------------------------------------------
 
     @staticmethod
     def _prefill_impl(
-        model_cfg, params, tokens, lens, cache, sstate, sparams, slot_mask
+        model_cfg, kv_window, params, tokens, lens, cache, sstate, sparams,
+        slot_mask
     ):
         """Prefill `tokens` (B, S bucket) for slots where slot_mask; sample
         the first generated token. Returns (tok, cache, sstate).
@@ -107,7 +115,9 @@ class EngineCore:
         mid-generation neighbors.
         """
         seg = jnp.where(slot_mask, lens, 0)
-        logits, cache = llama.prefill(params, model_cfg, tokens, seg, cache)
+        logits, cache = llama.prefill(
+            params, model_cfg, tokens, seg, cache, kv_window=kv_window
+        )
         marked = S.mark_prompt(sstate, tokens, seg)
         tok, new_state = S.sample(logits, sparams, marked)
         sstate = S.SamplingState(
@@ -120,8 +130,8 @@ class EngineCore:
 
     @staticmethod
     def _decode_impl(
-        model_cfg, eos_id, n_steps, params, cache, sstate, sparams,
-        last_tok, active,
+        model_cfg, eos_id, n_steps, kv_window, params, cache, sstate,
+        sparams, last_tok, active,
     ):
         """n_steps decode steps under lax.scan. Emits (B, n) tokens."""
         max_seq = cache.k.shape[2]
@@ -129,7 +139,7 @@ class EngineCore:
         def body(carry, _):
             cache, sstate, tok, active = carry
             logits, cache = llama.decode_one(
-                params, model_cfg, tok, cache, active
+                params, model_cfg, tok, cache, active, kv_window=kv_window
             )
             new_tok, sstate = S.sample(logits, sparams, sstate)
             new_tok = jnp.where(active, new_tok, eos_id)
@@ -149,8 +159,16 @@ class EngineCore:
                 return b
         return self.engine_cfg.max_input_len
 
+    def kv_bucket(self, needed: int) -> int:
+        for b in self.engine_cfg.kv_buckets:
+            if needed <= b <= self.max_seq:
+                return b
+        return self.max_seq
+
     def reset_slots(self, slots: Sequence[int]) -> None:
         """Clear cache lengths + sampling presence for reused slots."""
+        for sl in slots:
+            self._len_bounds[sl] = 0
         idx = jnp.asarray(list(slots), jnp.int32)
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[idx].set(0)
@@ -192,24 +210,50 @@ class EngineCore:
             mask[s] = True
         self.reset_slots(slots)
         tok, self.cache, self.sampling_state = self._prefill(
-            self.params, jnp.asarray(tokens), jnp.asarray(lens),
+            bucket, self.params, jnp.asarray(tokens), jnp.asarray(lens),
             self.cache, self.sampling_state, sparams, jnp.asarray(mask),
         )
+        for p, slot in zip(prompts, slots):
+            self._len_bounds[slot] = min(len(p), bucket) + 1
         return np.asarray(tok)
+
+    def decode_steps_launch(
+        self,
+        sparams: S.SamplingParams,
+        last_tok,
+        active,
+        n: Optional[int] = None,
+    ):
+        """Launch n decode steps WITHOUT waiting; returns device arrays
+        (tokens (B, n), last_tok, active).
+
+        last_tok/active may be device arrays from a previous launch — the
+        call chains device-to-device, so callers can keep the chip busy
+        while they fetch and process an earlier call's tokens (hides the
+        ~27 ms tunnel round-trip per dispatch). Device-side EOS handling
+        makes speculative launches safe: a slot that finished in the
+        in-flight call stays frozen in the speculative one.
+        """
+        n = n or self.engine_cfg.decode_steps_per_call
+        needed = int(self._len_bounds.max(initial=0)) + n + 1
+        window = self.kv_bucket(needed)
+        toks, tok, act, self.cache, self.sampling_state = self._decode(
+            n, window, self.params, self.cache, self.sampling_state, sparams,
+            jnp.asarray(last_tok, jnp.int32), jnp.asarray(active),
+        )
+        # conservative host bound: every occupied slot may grow by n
+        self._len_bounds[self._len_bounds > 0] += n
+        return toks, tok, act
 
     def decode_steps(
         self,
         sparams: S.SamplingParams,
-        last_tok: np.ndarray,
-        active: np.ndarray,
+        last_tok,
+        active,
         n: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Run n decode steps; returns (tokens (B, n), last_tok, active)."""
-        n = n or self.engine_cfg.decode_steps_per_call
-        toks, tok, act, self.cache, self.sampling_state = self._decode(
-            n, self.params, self.cache, self.sampling_state, sparams,
-            jnp.asarray(last_tok, jnp.int32), jnp.asarray(active),
-        )
+        """Run n decode steps; returns host (tokens (B, n), last_tok, active)."""
+        toks, tok, act = self.decode_steps_launch(sparams, last_tok, active, n)
         return np.asarray(toks), np.asarray(tok), np.asarray(act)
 
 
@@ -271,24 +315,31 @@ class GenerationEngine:
         if sampling.seed is not None:
             core.seed_slots([0], [sampling.seed])
         first = core.prefill_slots([list(prompt_ids)], [0], sp)
-        tok = first.copy()
-        active = np.array([tok[0] != self.eos_id])
         produced = 1
-        yield [int(tok[0])]
-        if not active[0]:
+        yield [int(first[0])]
+        if first[0] == self.eos_id:
             return
         max_new = sampling.max_tokens
-        while active[0] and produced < max_new:
-            n = min(
-                steps_per_yield or self.engine_cfg.decode_steps_per_call,
-                max_new - produced,
+        n_default = steps_per_yield or self.engine_cfg.decode_steps_per_call
+
+        # 1-deep pipelined dispatch: the next decode call is launched before
+        # this call's tokens are fetched, chaining tok/active device-to-
+        # device, so the host fetch (tunnel RTT) overlaps device compute.
+        tok_d, act_d = jnp.asarray(first, jnp.int32), jnp.ones(1, bool)
+        n = min(n_default, max_new - produced)
+        pending = core.decode_steps_launch(sp, tok_d, act_d, n) if n else None
+        while pending is not None:
+            toks_d, tok_d, act_d = pending
+            budget = max_new - produced - toks_d.shape[1]
+            n_next = min(n_default, budget)
+            pending = (
+                core.decode_steps_launch(sp, tok_d, act_d, n_next)
+                if n_next > 0 else None
             )
-            toks, tok, active = core.decode_steps(sp, tok, active, n)
-            row = toks[0].tolist()
-            # truncate after first EOS
+            row = np.asarray(toks_d)[0].tolist()   # sync overlaps next call
             if self.eos_id in row:
                 row = row[: row.index(self.eos_id) + 1]
-                active = np.array([False])
+                pending = None
             produced += len(row)
             yield [int(x) for x in row]
 

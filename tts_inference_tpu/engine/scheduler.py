@@ -201,6 +201,9 @@ class Scheduler:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._wakeup = threading.Event()
+        # 1-deep pipelined dispatch: (toks_d, tok_d, act_d, sparams,
+        # launch_req_ids) of the in-flight decode call
+        self._inflight = None
 
     # -- public API ---------------------------------------------------------
 
@@ -302,27 +305,60 @@ class Scheduler:
         self.slots[slot] = None
         self._active[slot] = False
 
+    def _launch_ids(self):
+        return [s.req.id if s is not None else None for s in self.slots]
+
     def step(self) -> bool:
-        """One scheduler iteration; returns True if any work was done."""
-        self._admit()
-        if not self._active.any():
-            return False
-        toks, last, active = self.core.decode_steps(
-            self._sampling_params(), self._last_tok, self._active
-        )
-        self._last_tok = np.array(last)  # writable copy (admission mutates)
-        for slot, state in enumerate(self.slots):
-            if state is None or not self._active[slot]:
-                continue
-            finished = state.on_tokens(
-                [int(t) for t in toks[slot]], self.eos_id
-            )
-            # device-side EOS/max-seq freeze also ends the slot
-            if finished or not active[slot]:
-                if not finished:
-                    state.finish()
-                self._release(slot)
-        return True
+        """One scheduler iteration; returns True if any work was done.
+
+        Pipelined: while this step fetches and processes the in-flight
+        decode call's tokens (host work + tunnel round-trip), the NEXT call
+        is already running on the device — launched speculatively with
+        device-chained tok/active handles. Speculation is only done when no
+        admissions are queued (admission changes slot assignments and
+        sampling params); per-slot request ids guard against attributing a
+        finished request's speculative tokens to a newly admitted one.
+        """
+        did = False
+        prev = self._inflight
+        self._inflight = None
+        if prev is not None:
+            toks_d, tok_d, act_d, sp_used, launch_ids = prev
+            if self.pending.empty() and self._active.any():
+                nxt = self.core.decode_steps_launch(sp_used, tok_d, act_d)
+                self._inflight = (nxt[0], nxt[1], nxt[2], sp_used,
+                                  self._launch_ids())
+            toks = np.asarray(toks_d)        # overlaps the launched call
+            active = np.asarray(act_d)
+            self._last_tok = np.array(tok_d)
+            for slot, state in enumerate(self.slots):
+                if state is None or launch_ids[slot] != state.req.id:
+                    continue
+                if not self._active[slot]:
+                    continue
+                finished = state.on_tokens(
+                    [int(t) for t in toks[slot]], self.eos_id
+                )
+                # device-side EOS/max-seq freeze also ends the slot
+                if finished or not active[slot]:
+                    if not finished:
+                        state.finish()
+                    self._release(slot)
+            did = True
+
+        if self._inflight is None:
+            before = self.n_active
+            self._admit()
+            did = did or self.n_active != before
+            if self._active.any():
+                sp = self._sampling_params()
+                nxt = self.core.decode_steps_launch(
+                    sp, self._last_tok, self._active
+                )
+                self._inflight = (nxt[0], nxt[1], nxt[2], sp,
+                                  self._launch_ids())
+                did = True
+        return did
 
     def run_forever(self) -> None:
         while not self._stop.is_set():

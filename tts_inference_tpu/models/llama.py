@@ -153,36 +153,30 @@ def init_kv_cache(
     )
 
 
-def _repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
-    """(B, S, Hkv, D) → (B, S, Hkv*n_rep, D) for GQA."""
-    if n_rep == 1:
-        return x
-    b, s, h, d = x.shape
-    return jnp.broadcast_to(
-        x[:, :, :, None, :], (b, s, h, n_rep, d)
-    ).reshape(b, s, h * n_rep, d)
-
-
 def _attention(
     q: jnp.ndarray,      # (B, Sq, Hq, D)
     k: jnp.ndarray,      # (B, Skv, Hkv, D)
     v: jnp.ndarray,      # (B, Skv, Hkv, D)
     mask: jnp.ndarray,   # (B, Sq, Skv) bool — True = attend
 ) -> jnp.ndarray:
-    n_rep = q.shape[2] // k.shape[2]
-    k = _repeat_kv(k, n_rep)
-    v = _repeat_kv(v, n_rep)
-    scale = 1.0 / math.sqrt(q.shape[-1])
+    """GQA attention without materializing repeated K/V: query heads are
+    grouped per kv head and contracted directly (saves ~G× KV HBM traffic —
+    the decode step is bandwidth-bound)."""
+    b, sq, hq, d = q.shape
+    hkv = k.shape[2]
+    g = hq // hkv
+    qg = q.reshape(b, sq, hkv, g, d)
+    scale = 1.0 / math.sqrt(d)
     logits = jnp.einsum(
-        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
     ) * scale
-    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
 
 
 def _layer(
@@ -194,11 +188,13 @@ def _layer(
     cache_k: jnp.ndarray,        # (B, max_seq, Hkv, D)
     cache_v: jnp.ndarray,
     write_pos: jnp.ndarray,      # (B,) int32 — where this chunk starts
-    mask: jnp.ndarray,           # (B, S, max_seq)
+    mask: jnp.ndarray,           # (B, S, kv_window)
     write_mask: jnp.ndarray,     # (B,) bool — slots this call may mutate
+    kv_window: Optional[int],    # static: attend only to cache[:, :window]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b, s, _ = x.shape
     hd, nq, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    max_seq = cache_k.shape[1]
 
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
     q = (h @ lp["wq"]).reshape(b, s, nq, hd)
@@ -207,19 +203,35 @@ def _layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    # scatter this chunk into the cache at per-slot write_pos — but only for
+    # Scatter this chunk into the cache at per-slot write_pos — but only for
     # slots in write_mask (continuous batching: prefilling one slot must not
-    # clobber the cache of a slot that is mid-generation)
-    def write(c, new):
-        def one(cb, nb, p, wm):
-            upd = jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
-            return jnp.where(wm, upd, cb)
-        return jax.vmap(one)(c, new, write_pos, write_mask)
+    # clobber the cache of a slot that is mid-generation).
+    if s == 1:
+        # decode hot path: redirect masked slots to a trash position instead
+        # of select-copying the whole cache (bandwidth!). Position max_seq-1
+        # is never attended: active slots are frozen before reaching it.
+        eff_pos = jnp.where(write_mask, write_pos, max_seq - 1)
+
+        def write(c, new):
+            def one(cb, nb, p):
+                return jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
+            return jax.vmap(one)(c, new, eff_pos)
+    else:
+        def write(c, new):
+            def one(cb, nb, p, wm):
+                upd = jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
+                return jnp.where(wm, upd, cb)
+            return jax.vmap(one)(c, new, write_pos, write_mask)
 
     cache_k = write(cache_k, k.astype(cache_k.dtype))
     cache_v = write(cache_v, v.astype(cache_v.dtype))
 
-    attn = _attention(q, cache_k, cache_v, mask)
+    if kv_window is not None and kv_window < max_seq:
+        attn = _attention(
+            q, cache_k[:, :kv_window], cache_v[:, :kv_window], mask
+        )
+    else:
+        attn = _attention(q, cache_k, cache_v, mask)
     attn = attn.reshape(b, s, nq * hd)
     x = x + attn @ lp["wo"]
 
@@ -236,6 +248,7 @@ def forward(
     cache: KVCache,
     write_pos: jnp.ndarray,      # (B,) int32 — chunk start per slot
     seg_lens: jnp.ndarray,       # (B,) int32 — valid tokens in this chunk
+    kv_window: Optional[int] = None,  # static: attend to cache[:, :window]
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Process a token chunk against the cache; returns (final-norm hidden
     states (B, S, H), new cache). Project with :func:`compute_logits`.
@@ -246,14 +259,19 @@ def forward(
     (causal + per-slot validity). Padded query rows produce garbage logits
     that the caller ignores; their cache writes land beyond the advancing
     length and are overwritten or masked later.
+
+    `kv_window` (static) bounds the attention read to the cache prefix —
+    the decode step is HBM-bound and reading all of max_seq for short
+    sequences wastes most of the bandwidth; the engine buckets it.
     """
     b, s = tokens.shape
     max_seq = cache.k.shape[2]
+    window = max_seq if kv_window is None else min(kv_window, max_seq)
 
     positions = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
     cos, sin = rope_tables(cfg, positions)
 
-    kv_idx = jnp.arange(max_seq, dtype=jnp.int32)
+    kv_idx = jnp.arange(window, dtype=jnp.int32)
     mask = kv_idx[None, None, :] <= positions[:, :, None]
 
     write_mask = seg_lens > 0
@@ -264,6 +282,7 @@ def forward(
         x, ck, cv = _layer(
             lp, cfg, x, cos, sin,
             cache.k[li], cache.v[li], write_pos, mask, write_mask,
+            window if window < max_seq else None,
         )
         new_k.append(ck)
         new_v.append(cv)
@@ -302,10 +321,18 @@ def prefill(
     tokens: jnp.ndarray,      # (B, S) right-padded prompt bucket
     prompt_lens: jnp.ndarray,  # (B,)
     cache: KVCache,
+    kv_window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Prefill the cache; returns (last-valid-position logits (B, V), cache)."""
+    """Prefill the cache; returns (last-valid-position logits (B, V), cache).
+
+    A prompt only attends to itself, so kv_window defaults to the bucket
+    width (the padded prompt length)."""
     zero = jnp.zeros_like(prompt_lens)
-    hidden, cache = forward(params, cfg, tokens, cache, zero, prompt_lens)
+    if kv_window is None:
+        kv_window = tokens.shape[1]
+    hidden, cache = forward(
+        params, cfg, tokens, cache, zero, prompt_lens, kv_window=kv_window
+    )
     last = jnp.maximum(prompt_lens - 1, 0)
     b = tokens.shape[0]
     last_hidden = hidden[jnp.arange(b), last]          # (B, H)
@@ -318,15 +345,17 @@ def decode_one(
     token: jnp.ndarray,       # (B,) int32 — previous token per slot
     cache: KVCache,
     active: Optional[jnp.ndarray] = None,
+    kv_window: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step for every slot; returns (logits (B, V), new cache).
 
     `active` (B,) bool freezes finished slots: their KV write lands at the
-    current length (overwritten next real step) and lengths don't advance.
+    trash slot (max_seq-1, never attended) and lengths don't advance.
     """
     seg = (jnp.ones_like(cache.lengths) if active is None
            else active.astype(jnp.int32))
     hidden, cache = forward(
-        params, cfg, token[:, None], cache, cache.lengths, seg
+        params, cfg, token[:, None], cache, cache.lengths, seg,
+        kv_window=kv_window,
     )
     return compute_logits(params, cfg, hidden[:, 0]), cache
