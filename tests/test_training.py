@@ -1,0 +1,104 @@
+"""Training sidecar tests: data pipeline, vocab extension, checkpoints,
+finetune→merge CLI end-to-end (tiny, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tts_inference_tpu import protocol as P
+from tts_inference_tpu.training import data as D
+from tts_inference_tpu.utils.tokenizer import ByteTokenizer
+
+
+def test_mine_tags():
+    assert D.mine_tags(["<laugh> hi", "no tags", "<sigh> <laugh>"]) == \
+        ["<laugh>", "<sigh>"]
+
+
+def test_build_sequence_format():
+    tok = ByteTokenizer()
+    seq = D.build_sequence(tok, "hi", "tara", codes=[0, 4096, 8192, 12288,
+                                                     16384, 20480, 24576])
+    assert seq[0] == P.TOKEN_SOH
+    i = seq.index(P.TOKEN_SOS)
+    assert seq[i - 1] == P.TOKEN_EOH
+    assert seq[-1] == P.TOKEN_EOS
+    assert seq[i + 1] == P.TOKEN_AUDIO_BASE
+
+
+def test_batches_shapes(rng):
+    tok = ByteTokenizer()
+    recs = D.synthetic_records(rng, n=10)
+    got = list(D.batches(tok, recs, batch_size=4, max_len=96,
+                         shuffle_rng=rng))
+    assert len(got) == 2  # 10 // 4, remainder dropped
+    tokens, lens = got[0]
+    assert tokens.shape == (4, 96)
+    assert (lens > 0).all() and (lens <= 96).all()
+
+
+def test_extend_vocab(rng):
+    import jax
+
+    from tts_inference_tpu.config import ModelConfig
+    from tts_inference_tpu.models import llama
+
+    cfg = ModelConfig.tiny(vocab_size=128)
+    params = llama.init_llama_params(jax.random.PRNGKey(0), cfg)
+    out = D.extend_vocab(params, 5)
+    assert out["embed"].shape[0] == 133
+    # original rows untouched
+    np.testing.assert_array_equal(
+        np.asarray(out["embed"][:128]), np.asarray(params["embed"])
+    )
+
+
+def test_orbax_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tts_inference_tpu.training.checkpoint import restore_params, save_params
+
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": [jnp.ones(4)]}
+    save_params(str(tmp_path / "ck"), tree, metadata={"k": "v"})
+    got, meta = restore_params(str(tmp_path / "ck"))
+    np.testing.assert_array_equal(np.asarray(got["a"]), np.arange(6.0).reshape(2, 3))
+    assert meta["k"] == "v"
+
+
+@pytest.mark.slow
+def test_finetune_and_merge_cli(tmp_path):
+    from tts_inference_tpu.training.finetune import main
+
+    out = tmp_path / "ft"
+    rc = main([
+        "train", "--tiny", "--cpu", "--steps", "6", "--batch-size", "2",
+        "--max-len", "64", "--synthetic-records", "8",
+        "--lora-r", "4", "--log-every", "3", "--save-every", "0",
+        "--out-dir", str(out), "--seed", "1",
+    ])
+    assert rc == 0
+    meta = json.loads((out / "adapter" / "metadata.json").read_text())
+    assert meta["kind"] == "lora" and meta["steps"] == 6
+
+    merged = tmp_path / "merged"
+    rc = main([
+        "merge", "--tiny", "--cpu", "--adapter-dir", str(out),
+        "--out-dir", str(merged), "--seed", "1",
+    ])
+    assert rc == 0
+    assert os.path.exists(merged / "metadata.json")
+
+    # merged checkpoint must load and generate
+    from tts_inference_tpu.config import SamplingConfig, tiny_config
+    from tts_inference_tpu.engine.engine import GenerationEngine
+    from tts_inference_tpu.training.checkpoint import restore_params
+
+    params, _ = restore_params(str(merged))
+    cfg = tiny_config()
+    eng = GenerationEngine(params, cfg.model, cfg.engine)
+    res = eng.generate([1, 2, 3], SamplingConfig(greedy=True, max_tokens=5,
+                                                 repetition_penalty=1.0))
+    assert len(res.token_ids) >= 1
