@@ -1,18 +1,22 @@
-"""Headline benchmark: warm streaming TTS on the flagship Orpheus-3B path.
+"""Headline benchmark. Prints ONE JSON line:
+    {"metric", "value", "unit", "vs_baseline"}
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default mode: 8 concurrent streams through the continuous-batching
+scheduler on one chip — the BASELINE.json north-star configuration ("RTF ≥5×
+realtime per v5e chip at 8 concurrent streams"). value = aggregate RTF
+(audio seconds produced per wall second across all streams, warm).
 
-Measures warm streaming RTF (audio seconds produced per wall second) for a
-single stream: prompt → jitted prefill → frame-cadence decode → lookahead
-windowed vocoder → PCM chunks, exactly the serving hot path. Weights are
-random (no checkpoint assets in this environment) — decode/vocoder cost does
-not depend on weight values; sampling is constrained to the audio-token
-range so the pipeline produces frames at the true serving cadence.
+Baseline: the reference's warm streaming RTF, 1.42× on A100-80GB
+(spec.md:62) — and the reference serializes requests behind a lock
+(max_batch_size=1 engines, SURVEY.md §2.3), so its aggregate equals its
+single-stream number. vs_baseline = value / 1.42.
 
-Baseline: the reference's warm streaming RTF on A100-80GB, sweep mean 1.42×
-(spec.md:62, BASELINE.md) — vs_baseline = value / 1.42.
+Weights are random (no checkpoint assets in this environment); decode and
+vocoder cost do not depend on weight values, and sampling is constrained to
+the audio-token range so frames flow at the true serving cadence.
 
-Flags: --smoke (tiny model, CPU-safe), --tokens N, --json-extra.
+Modes: --mode single|concurrent ; --smoke (tiny, CPU-safe) ; --streams N ;
+--tokens N ; --json-extra.
 """
 
 from __future__ import annotations
@@ -22,53 +26,60 @@ import json
 import sys
 import time
 
-
 BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 
 
-def run(smoke: bool = False, tokens: int = 420, extra: bool = False) -> dict:
-    import numpy as np
-
-    from tts_inference_tpu import protocol as P
-    from tts_inference_tpu.config import (
-        Config, EngineConfig, SamplingConfig, StreamConfig, tiny_config,
-    )
+def build_runtime(smoke: bool):
+    from tts_inference_tpu.config import Config, EngineConfig, tiny_config
     from tts_inference_tpu.runtime import Runtime
 
     if smoke:
-        cfg = tiny_config()
-    else:
-        cfg = Config(
-            engine=EngineConfig(
-                max_input_len=128,
-                max_output_len=2048,
-                max_batch_size=1,
-                prefill_buckets=(128,),
-            ),
-        )
-    rt = Runtime.create(cfg, warmup=False)
+        return Runtime.create(tiny_config(), warmup=False)
+    cfg = Config(
+        engine=EngineConfig(
+            max_input_len=128,
+            max_output_len=2048,
+            max_batch_size=8,
+            prefill_buckets=(128,),
+        ),
+    )
+    return Runtime.create(cfg, warmup=False)
 
-    sampling = SamplingConfig(
-        max_tokens=tokens,
-        seed=0,
+
+def sampling_for(tokens: int, seed: int):
+    from tts_inference_tpu import protocol as P
+    from tts_inference_tpu.config import SamplingConfig
+
+    return SamplingConfig(
+        max_tokens=tokens, seed=seed,
         token_range=(P.TOKEN_AUDIO_BASE, P.TOKEN_AUDIO_BASE + P.AUDIO_VOCAB),
     )
-    scfg = StreamConfig(frames_per_chunk=5, lookahead_frames=5,
+
+
+def stream_cfg():
+    from tts_inference_tpu.config import StreamConfig
+
+    return StreamConfig(frames_per_chunk=5, lookahead_frames=5,
                         left_context_frames=16)
-    text = "The quick brown fox jumps over the lazy dog near the river bank."
+
+
+TEXT = "The quick brown fox jumps over the lazy dog near the river bank."
+
+
+def run_single(rt, tokens: int) -> dict:
+    import numpy as np
+
+    from tts_inference_tpu import protocol as P
 
     def one_pass():
         t0 = time.perf_counter()
-        n_samples = 0
-        ttfa = None
-        gaps = []
-        last = None
+        n_samples, ttfa, gaps, last = 0, None, [], None
         for chunk in rt.pipeline.stream(
-            text, "tara", sampling, scfg, force_speech=True
+            TEXT, "tara", sampling_for(tokens, 0), stream_cfg(),
+            force_speech=True,
         ):
             now = time.perf_counter()
-            if ttfa is None:
-                ttfa = (now - t0) * 1000.0
+            ttfa = ttfa if ttfa is not None else (now - t0) * 1000.0
             if last is not None:
                 gaps.append((now - last) * 1000.0)
             last = now
@@ -86,24 +97,85 @@ def run(smoke: bool = False, tokens: int = 420, extra: bool = False) -> dict:
             "mean_gap_ms": float(np.mean(gaps)) if gaps else 0.0,
         }
 
-    one_pass()          # cold: compiles everything
-    warm = one_pass()   # warm: the measured run
+    one_pass()           # cold (compiles)
+    return one_pass()    # warm
 
-    result = {
-        "metric": "warm_streaming_rtf",
-        "value": round(warm["rtf"], 4),
-        "unit": "x_realtime",
-        "vs_baseline": round(warm["rtf"] / BASELINE_RTF, 4),
-    }
-    if extra:
-        result["detail"] = {k: round(v, 2) for k, v in warm.items()}
-    return result
+
+def run_concurrent(rt, tokens: int, streams: int) -> dict:
+    import threading
+
+    import numpy as np
+
+    from tts_inference_tpu import protocol as P
+    from tts_inference_tpu.engine.scheduler import Scheduler, TTSRequest
+
+    sched = Scheduler(
+        rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer
+    )
+    sched.start()
+
+    def one_pass() -> dict:
+        reqs = [
+            TTSRequest(
+                text=TEXT, voice="tara",
+                sampling=sampling_for(tokens, seed=100 + i),
+                stream_cfg=stream_cfg(), force_speech=True,
+            )
+            for i in range(streams)
+        ]
+        stats = {}
+        t0 = time.perf_counter()
+
+        def drain(i, req):
+            ttfa, gaps, last, samples = None, [], None, 0
+            for chunk in req.iter_chunks(timeout=1200):
+                now = time.perf_counter()
+                ttfa = ttfa if ttfa is not None else (now - t0) * 1000.0
+                if last is not None:
+                    gaps.append((now - last) * 1000.0)
+                last = now
+                samples += chunk.samples
+            stats[i] = {
+                "ttfa_ms": ttfa or 0.0,
+                "audio_s": samples / P.SAMPLE_RATE,
+                "max_gap_ms": max(gaps) if gaps else 0.0,
+            }
+
+        threads = []
+        for i, r in enumerate(reqs):
+            sched.submit(r)
+            th = threading.Thread(target=drain, args=(i, r))
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t0
+        total_audio = sum(s["audio_s"] for s in stats.values())
+        return {
+            "wall_s": wall,
+            "audio_s": total_audio,
+            "aggregate_rtf": total_audio / wall,
+            "per_stream_rtf": total_audio / wall / streams,
+            "ttfa_p95_ms": float(np.percentile(
+                [s["ttfa_ms"] for s in stats.values()], 95)),
+            "worst_gap_ms": max(s["max_gap_ms"] for s in stats.values()),
+            "streams": streams,
+        }
+
+    try:
+        one_pass()           # cold (compiles)
+        warm = one_pass()    # warm
+    finally:
+        sched.stop()
+    return warm
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--smoke", action="store_true",
-                    help="tiny model (CPU-safe sanity run)")
+    ap.add_argument("--mode", choices=("single", "concurrent"),
+                    default="concurrent")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=420)
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
@@ -111,7 +183,29 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    print(json.dumps(run(args.smoke, args.tokens, args.json_extra)))
+
+    rt = build_runtime(args.smoke)
+    if args.mode == "single":
+        warm = run_single(rt, args.tokens)
+        result = {
+            "metric": "warm_streaming_rtf",
+            "value": round(warm["rtf"], 4),
+            "unit": "x_realtime",
+            "vs_baseline": round(warm["rtf"] / BASELINE_RTF, 4),
+        }
+    else:
+        streams = 2 if args.smoke else args.streams
+        warm = run_concurrent(rt, args.tokens, streams)
+        result = {
+            "metric": f"aggregate_streaming_rtf_{streams}streams",
+            "value": round(warm["aggregate_rtf"], 4),
+            "unit": "x_realtime",
+            "vs_baseline": round(warm["aggregate_rtf"] / BASELINE_RTF, 4),
+        }
+    if args.json_extra:
+        result["detail"] = {k: (round(v, 2) if isinstance(v, float) else v)
+                            for k, v in warm.items()}
+    print(json.dumps(result))
     return 0
 
 

@@ -210,12 +210,17 @@ def _layer(
         # decode hot path: redirect masked slots to a trash position instead
         # of select-copying the whole cache (bandwidth!). Position max_seq-1
         # is never attended: active slots are frozen before reaching it.
+        # One batched scatter (.at[b, pos].set) — unlike vmapped
+        # dynamic_update_slice this aliases in the scan carry, so the cache
+        # is updated in place instead of copied every token (measured
+        # ~1.3 ms/token of pure copy traffic at batch 1).
         eff_pos = jnp.where(write_mask, write_pos, max_seq - 1)
+        batch_idx = jnp.arange(x.shape[0])
 
         def write(c, new):
-            def one(cb, nb, p):
-                return jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
-            return jax.vmap(one)(c, new, eff_pos)
+            return c.at[batch_idx, eff_pos].set(
+                new[:, 0].astype(c.dtype), mode="drop"
+            )
     else:
         def write(c, new):
             def one(cb, nb, p, wm):
