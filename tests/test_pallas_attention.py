@@ -1,0 +1,90 @@
+"""Pallas decode-attention kernel vs jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tts_inference_tpu.ops.pallas.decode_attention import (
+    decode_attention, decode_attention_reference,
+)
+
+
+@pytest.mark.parametrize("g", [3, 8])
+@pytest.mark.parametrize("w", [128, 256])
+def test_kernel_matches_reference(g, w):
+    rng = np.random.default_rng(0)
+    b, hkv, d = 2, 4, 128
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, w, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, w, hkv, d)), jnp.float32)
+    pos = jnp.asarray([w // 3, w - 1], jnp.int32)
+    want = decode_attention_reference(q, k, v, pos)
+    got = decode_attention(q, k, v, pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_kernel_masks_past_position():
+    """Changing K/V beyond pos must not change the output."""
+    rng = np.random.default_rng(1)
+    b, hkv, g, d, w = 1, 2, 3, 128, 128
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, w, hkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, w, hkv, d)), jnp.float32)
+    pos = jnp.asarray([40], jnp.int32)
+    out1 = decode_attention(q, k, v, pos, interpret=True)
+    k2 = k.at[:, 41:].set(99.0)
+    v2 = v.at[:, 41:].set(-99.0)
+    out2 = decode_attention(q, k2, v2, pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_bf16_inputs():
+    rng = np.random.default_rng(2)
+    b, hkv, g, d, w = 1, 2, 3, 128, 128
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, w, hkv, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, w, hkv, d)), jnp.bfloat16)
+    pos = jnp.asarray([100], jnp.int32)
+    want = decode_attention_reference(q, k, v, pos)
+    got = decode_attention(q, k, v, pos, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_flag_integration_matches_einsum_path():
+    """ModelConfig.use_pallas_attention reroutes the decode hot path; greedy
+    tokens must be identical to the einsum path (interpret mode on CPU)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tts_inference_tpu.config import EngineConfig, ModelConfig, SamplingConfig
+    from tts_inference_tpu.engine.engine import GenerationEngine
+    from tts_inference_tpu.models import llama
+
+    cfg = ModelConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=128, rope_scaling_factor=None, max_position_embeddings=512,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(max_input_len=32, max_output_len=96,
+                        prefill_buckets=(16,), kv_buckets=(128,))
+    params = llama.init_llama_params(jax.random.PRNGKey(0), cfg)
+    samp = SamplingConfig(greedy=True, max_tokens=10, repetition_penalty=1.0)
+
+    want = GenerationEngine(params, cfg, ecfg, eos_id=511).generate(
+        [1, 2, 3], samp
+    ).token_ids
+
+    cfg_p = dataclasses.replace(cfg, use_pallas_attention=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = GenerationEngine(params, cfg_p, ecfg, eos_id=511).generate(
+            [1, 2, 3], samp
+        ).token_ids
+    assert got == want

@@ -39,6 +39,9 @@ class ModelConfig:
     max_position_embeddings: int = 131072
     tie_word_embeddings: bool = True
     dtype: str = "bfloat16"
+    # Use the fused Pallas decode-attention kernel on the s==1 hot path
+    # (ops/pallas/decode_attention.py). Off by default; enable on TPU.
+    use_pallas_attention: bool = False
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "ModelConfig":

@@ -231,12 +231,19 @@ def _layer(
     cache_k = write(cache_k, k.astype(cache_k.dtype))
     cache_v = write(cache_v, v.astype(cache_v.dtype))
 
-    if kv_window is not None and kv_window < max_seq:
-        attn = _attention(
-            q, cache_k[:, :kv_window], cache_v[:, :kv_window], mask
+    ck = cache_k[:, :kv_window] if (kv_window is not None
+                                    and kv_window < max_seq) else cache_k
+    cv = cache_v[:, :kv_window] if (kv_window is not None
+                                    and kv_window < max_seq) else cache_v
+    if s == 1 and cfg.use_pallas_attention:
+        from tts_inference_tpu.ops.pallas.decode_attention import (
+            decode_attention,
         )
+
+        qg = q.reshape(b, nkv, nq // nkv, hd)
+        attn = decode_attention(qg, ck, cv, write_pos).reshape(b, 1, nq, hd)
     else:
-        attn = _attention(q, cache_k, cache_v, mask)
+        attn = _attention(q, ck, cv, mask)
     attn = attn.reshape(b, s, nq * hd)
     x = x + attn @ lp["wo"]
 
