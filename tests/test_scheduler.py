@@ -153,3 +153,16 @@ def test_threaded_run_loop(sched):
         assert all(m.tokens == 35 for _, m in outs)
     finally:
         sched.stop()
+
+
+def test_fail_all_delivers_errors(rt):
+    s2 = Scheduler(rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer)
+    r1, r2 = mk_req("a", 1), mk_req("b", 2)
+    s2.submit(r1)
+    s2.step()          # r1 admitted
+    s2.submit(r2)      # r2 still pending
+    s2.fail_all("boom")
+    for r in (r1, r2):
+        kind, payload = r.events.get_nowait()
+        assert kind == "error" and "boom" in payload
+    assert s2.n_active == 0 and s2.pending.empty()

@@ -102,3 +102,26 @@ def test_finetune_and_merge_cli(tmp_path):
     res = eng.generate([1, 2, 3], SamplingConfig(greedy=True, max_tokens=5,
                                                  repetition_penalty=1.0))
     assert len(res.token_ids) >= 1
+
+
+@pytest.mark.slow
+def test_orbax_checkpoint_serves(tmp_path):
+    """finetune merge output loads straight into the serving Runtime."""
+    import jax
+
+    from tts_inference_tpu.config import SamplingConfig, tiny_config
+    from tts_inference_tpu.models import llama
+    from tts_inference_tpu.runtime import Runtime
+    from tts_inference_tpu.training.checkpoint import save_params
+
+    cfg = tiny_config()
+    params = llama.init_llama_params(jax.random.PRNGKey(3), cfg.model)
+    ck = tmp_path / "merged"
+    save_params(str(ck), params,
+                metadata={"kind": "merged", "vocab_size": cfg.model.vocab_size})
+    rt = Runtime.create(cfg, model_path=str(ck))
+    res = rt.engine.generate(
+        [1, 2, 3], SamplingConfig(greedy=True, max_tokens=4,
+                                  repetition_penalty=1.0)
+    )
+    assert len(res.token_ids) >= 1

@@ -204,6 +204,12 @@ class Scheduler:
         # 1-deep pipelined dispatch: (toks_d, tok_d, act_d, sparams,
         # launch_req_ids) of the in-flight decode call
         self._inflight = None
+        # watchdog (SURVEY.md §5.3 — the reference's engine-core "dies
+        # unexpectedly mid-generation, connections hang" lesson): if the
+        # loop makes no progress for `watchdog_s`, all live requests are
+        # failed with an error event instead of hanging their consumers.
+        self.watchdog_s: float = 120.0
+        self._last_progress = time.perf_counter()
 
     # -- public API ---------------------------------------------------------
 
@@ -360,9 +366,37 @@ class Scheduler:
                 did = True
         return did
 
+    def fail_all(self, message: str) -> None:
+        """Fail every live/pending request with an error event (watchdog /
+        fatal-error path — consumers get a clean error, never a hang)."""
+        for slot, state in enumerate(self.slots):
+            if state is not None:
+                state.req.events.put(("error", message))
+                self._release(slot)
+        while not self.pending.empty():
+            try:
+                req = self.pending.get_nowait()
+                req.events.put(("error", message))
+            except queue.Empty:
+                break
+        self._inflight = None
+
     def run_forever(self) -> None:
         while not self._stop.is_set():
-            did_work = self.step()
+            try:
+                did_work = self.step()
+            except Exception as e:  # noqa: BLE001 — fail requests, keep serving
+                self.fail_all(f"scheduler error: {type(e).__name__}: {e}")
+                did_work = True
+            now = time.perf_counter()
+            if did_work:
+                self._last_progress = now
+            elif (self.n_active or not self.pending.empty()) and \
+                    now - self._last_progress > self.watchdog_s:
+                self.fail_all(
+                    f"watchdog: no progress for {self.watchdog_s:.0f}s"
+                )
+                self._last_progress = now
             if not did_work:
                 self._wakeup.wait(timeout=0.01)
                 self._wakeup.clear()

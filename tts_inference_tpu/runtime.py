@@ -64,7 +64,21 @@ class Runtime:
         timings = {}
 
         t0 = time.perf_counter()
-        if model_path:
+        if model_path and os.path.exists(
+            os.path.join(model_path, "params")
+        ):
+            # framework-native orbax checkpoint (training/finetune.py merge
+            # output): finetune → merge → serve without HF round trips
+            from tts_inference_tpu.training.checkpoint import restore_params
+
+            params, meta = restore_params(model_path)
+            if meta.get("vocab_size"):
+                config = dataclasses.replace(
+                    config, model=dataclasses.replace(
+                        config.model, vocab_size=int(meta["vocab_size"])
+                    )
+                )
+        elif model_path:
             from tts_inference_tpu.models.loader import load_llama_checkpoint
 
             params, model_cfg = load_llama_checkpoint(
@@ -92,11 +106,13 @@ class Runtime:
         timings["load_snac_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        tokenizer = (
-            load_tokenizer(tokenizer_path or model_path)
-            if (tokenizer_path or model_path)
-            else ByteTokenizer()
-        )
+        tok_dir = tokenizer_path
+        if tok_dir is None and model_path and any(
+            os.path.exists(os.path.join(model_path, f))
+            for f in ("tokenizer.json", "tokenizer_config.json")
+        ):
+            tok_dir = model_path
+        tokenizer = load_tokenizer(tok_dir) if tok_dir else ByteTokenizer()
         timings["load_tokenizer_s"] = time.perf_counter() - t0
 
         engine = GenerationEngine(

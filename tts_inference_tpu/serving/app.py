@@ -479,6 +479,7 @@ def create_app(runtime, scheduler=None) -> web.Application:
         web.get("/health", server.health),
         web.get("/test", server.test_page),
         web.post("/generate", server.generate),
+        web.post("/tts", server.generate),   # alias (tensorrt_tts/inference.py POST /tts)
         web.post("/generate-batch", server.generate_batch),
         web.post("/dump-tokens", server.dump_tokens),
         web.get("/ws/tts", server.ws_tts),
