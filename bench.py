@@ -29,7 +29,7 @@ import time
 BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 
 
-def build_runtime(smoke: bool):
+def build_runtime(smoke: bool, quantize: bool = False):
     from tts_inference_tpu.config import Config, EngineConfig, tiny_config
     from tts_inference_tpu.runtime import Runtime
 
@@ -43,7 +43,7 @@ def build_runtime(smoke: bool):
             prefill_buckets=(128,),
         ),
     )
-    return Runtime.create(cfg, warmup=False)
+    return Runtime.create(cfg, warmup=False, quantize=quantize)
 
 
 def sampling_for(tokens: int, seed: int):
@@ -59,8 +59,10 @@ def sampling_for(tokens: int, seed: int):
 def stream_cfg():
     from tts_inference_tpu.config import StreamConfig
 
-    return StreamConfig(frames_per_chunk=5, lookahead_frames=5,
-                        left_context_frames=16)
+    # lookahead 3 is bit-exact for our vocoder (influence reach ±2.29
+    # frames, test-enforced); first chunk emits at 1 stable frame
+    return StreamConfig(frames_per_chunk=5, first_chunk_frames=1,
+                        lookahead_frames=3, left_context_frames=16)
 
 
 TEXT = "The quick brown fox jumps over the lazy dog near the river bank."
@@ -177,6 +179,10 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=420)
+    ap.add_argument("--no-quantize", dest="quantize", action="store_false",
+                    help="disable int8 weight-only quantization (the "
+                         "default serving configuration)")
+    ap.set_defaults(quantize=True)
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -184,7 +190,7 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    rt = build_runtime(args.smoke)
+    rt = build_runtime(args.smoke, args.quantize)
     if args.mode == "single":
         warm = run_single(rt, args.tokens)
         result = {

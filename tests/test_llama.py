@@ -188,3 +188,28 @@ def test_untied_lm_head():
     )
     logits = jllama.compute_logits(params, cfg, hidden)
     np.testing.assert_allclose(np.asarray(logits), want, atol=2e-4, rtol=1e-3)
+
+
+def test_int8_quantized_forward_close(pair):
+    """Weight-only int8 params flow through the same model code and match
+    fp32 logits closely (top-1 agreement on most positions)."""
+    from tts_inference_tpu.models.quant import quantize_llama_params
+
+    model, params = pair
+    qparams = quantize_llama_params(params)
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, TINY.vocab_size, size=(1, 10)).astype(np.int32)
+    want = hf_logits(model, toks)
+
+    cache = jllama.init_kv_cache(TINY, batch=1, max_seq=16, dtype=jnp.float32)
+    hidden, _ = jllama.forward(
+        qparams, TINY, jnp.asarray(toks), cache,
+        jnp.zeros(1, jnp.int32), jnp.array([10], jnp.int32),
+    )
+    got = np.asarray(jllama.compute_logits(qparams, TINY, hidden))
+    # int8 error is real but small: top-1 must agree on >=80% positions and
+    # correlation stays high
+    top_match = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert top_match >= 0.8, top_match
+    corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
+    assert corr > 0.99, corr

@@ -29,6 +29,8 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--compile-cache", help="persistent XLA compile cache dir")
     p.add_argument("--no-warmup", action="store_true")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only quantization (serving)")
 
 
 def _build_runtime(args):
@@ -56,6 +58,7 @@ def _build_runtime(args):
         tokenizer_path=args.tokenizer_path,
         seed=args.seed,
         warmup=not args.no_warmup,
+        quantize=args.quantize,
     )
 
 

