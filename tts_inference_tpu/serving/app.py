@@ -55,6 +55,11 @@ def parse_request(data: dict, defaults: SamplingConfig,
     comprehensive_sweep.py:143-150 + our extensions)."""
     text = (data.get("text") or "")[: protocol.MAX_TEXT_CHARS]
     voice = data.get("voice", "tara")
+    # capacity limits (reference: spec.md:133-135 — 2000 chars / 120 s audio)
+    max_audio_tokens = int(
+        protocol.MAX_AUDIO_SECONDS * protocol.SAMPLE_RATE
+        / protocol.SAMPLES_PER_FRAME * protocol.FRAME_SIZE
+    )
     sampling = dataclasses.replace(
         defaults,
         temperature=float(data.get("temperature", defaults.temperature)),
@@ -62,7 +67,10 @@ def parse_request(data: dict, defaults: SamplingConfig,
         repetition_penalty=float(
             data.get("repetition_penalty", defaults.repetition_penalty)
         ),
-        max_tokens=int(data.get("max_tokens", defaults.max_tokens)),
+        max_tokens=min(
+            int(data.get("max_tokens", defaults.max_tokens)),
+            max_audio_tokens,
+        ),
         seed=data.get("seed", defaults.seed),
         token_range=AUDIO_RANGE if data.get("audio_only") else defaults.token_range,
     )
