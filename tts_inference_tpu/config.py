@@ -189,7 +189,7 @@ class StreamConfig:
     # frame 0 every chunk (O(n²)); we decode a bounded window whose margin
     # covers the vocoder receptive field, making streaming O(n) and
     # sample-exact vs batch decode (SURVEY.md §7.3).
-    left_context_frames: int = 16
+    left_context_frames: int = 6
     extraction: str = "first_sos"    # or "last_sos"
 
 

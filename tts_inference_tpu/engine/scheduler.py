@@ -103,9 +103,12 @@ class _SlotState:
         return (time.perf_counter() - self.t0) * 1000.0
 
     def on_tokens(self, tokens: List[int], eos_id: int) -> bool:
-        """Feed decoded tokens; returns True when the request is finished."""
+        """Feed decoded tokens; returns True when the request is finished.
+
+        Audio decoding does NOT happen here — the scheduler batches every
+        stream's pending vocoder window into one device call per tick.
+        """
         if self.req.cancelled:
-            self.finish()
             return True
         if not self.metrics.ttft_ms:
             self.metrics.ttft_ms = self._ms()
@@ -122,19 +125,10 @@ class _SlotState:
         codes = self.extractor.feed_many(row)
         if codes:
             self.lookahead.feed(codes)
-            t0 = time.perf_counter()
-            out = self.lookahead.poll()
-            if out is not None and len(out):
-                self.metrics.decode_times_ms.append(
-                    (time.perf_counter() - t0) * 1000.0
-                )
-                self._emit(out)
         if self.extractor.finished:
             finished = True
         if self.produced >= self.req.sampling.max_tokens:
             finished = True
-        if finished:
-            self.finish()
         return finished
 
     def _emit(self, samples: np.ndarray) -> None:
@@ -150,14 +144,7 @@ class _SlotState:
         )))
 
     def finish(self) -> None:
-        if not self.req.cancelled:
-            t0 = time.perf_counter()
-            tail = self.lookahead.flush()
-            if tail is not None and len(tail):
-                self.metrics.decode_times_ms.append(
-                    (time.perf_counter() - t0) * 1000.0
-                )
-                self._emit(tail)
+        """Emit the done event (any flush audio was emitted by the tick)."""
         self.metrics.frames = self.lookahead.total_frames
         self.metrics.generation_time_ms = self._ms()
         self.metrics.ttfa_ms = self.metrics.ttfa_ms or self.metrics.generation_time_ms
@@ -311,6 +298,39 @@ class Scheduler:
         self.slots[slot] = None
         self._active[slot] = False
 
+    def _vocode_tick(self, finishing: List[int]) -> None:
+        """Batch every stream's pending vocoder window into ONE device call.
+
+        Per-stream decode_frames calls cost a full dispatch round-trip each
+        (~27 ms over the tunnel); at 8 streams that serialized into the
+        dominant cost of a tick. Stacking the windows recovers it. Per-row
+        valid-length masking keeps each stream's samples bit-identical to
+        its solo decode (test-enforced).
+        """
+        jobs = []   # (state, plan)
+        for slot, state in enumerate(self.slots):
+            if state is None or state.req.cancelled:
+                continue
+            plan = state.lookahead.plan(flush=slot in finishing)
+            if plan is not None:
+                jobs.append((state, plan))
+        if not jobs:
+            return
+        t0 = time.perf_counter()
+        layers = [st.lookahead.window_layers(pl) for st, pl in jobs]
+        outs = self.vocoder.decode_frames_batch(
+            layers,
+            first_frames=[pl.w0 for _, pl in jobs],
+            noise_seeds=[st.lookahead.noise_seed for st, _ in jobs],
+        )
+        decode_ms = (time.perf_counter() - t0) * 1000.0
+        for (state, plan), audio in zip(jobs, outs):
+            state.lookahead.commit(plan)
+            state.metrics.decode_times_ms.append(decode_ms / len(jobs))
+            samples = audio[plan.lo : plan.hi]
+            if len(samples):
+                state._emit(samples)
+
     def _launch_ids(self):
         return [s.req.id if s is not None else None for s in self.slots]
 
@@ -337,6 +357,7 @@ class Scheduler:
             toks = np.asarray(toks_d)        # overlaps the launched call
             active = np.asarray(act_d)
             self._last_tok = np.array(tok_d)
+            finishing = []
             for slot, state in enumerate(self.slots):
                 if state is None or launch_ids[slot] != state.req.id:
                     continue
@@ -347,9 +368,13 @@ class Scheduler:
                 )
                 # device-side EOS/max-seq freeze also ends the slot
                 if finished or not active[slot]:
-                    if not finished:
-                        state.finish()
-                    self._release(slot)
+                    finishing.append(slot)
+            self._vocode_tick(finishing)
+            for slot in finishing:
+                state = self.slots[slot]
+                if state is not None:
+                    state.finish()
+                self._release(slot)
             did = True
 
         if self._inflight is None:

@@ -126,24 +126,26 @@ def _mix32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def position_noise(
-    seed: int | jnp.ndarray,
+    seed: jnp.ndarray,      # (B,) uint32 — per-stream noise seed
     block_idx: int,
-    offset: jnp.ndarray | int,
+    offset: jnp.ndarray,    # (B,) uint32 — absolute start position
     length: int,
     batch: int,
 ) -> jnp.ndarray:
     """Deterministic N(0,1) noise addressed by absolute temporal position.
 
-    Returns (batch, length, 1). Value at absolute position p is independent
-    of the window in which it is computed — the property that makes windowed
-    streaming decode bit-exact vs batch decode.
+    Returns (batch, length, 1). Value at absolute position p depends ONLY on
+    (seed, block, p) — independent of the window it is computed in AND of
+    the batch slot it is computed at, so per-stream windows can be batch-
+    decoded together and still match their solo decodes bit-for-bit.
     """
-    pos = jnp.arange(length, dtype=jnp.uint32) + jnp.uint32(offset)
-    base = (
-        _mix32(jnp.uint32(seed) ^ jnp.uint32(0x9E3779B9) * jnp.uint32(block_idx + 1))
+    seed = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), (batch,))
+    offset = jnp.broadcast_to(jnp.asarray(offset, jnp.uint32), (batch,))
+    pos = jnp.arange(length, dtype=jnp.uint32)[None, :] + offset[:, None]
+    base = _mix32(
+        seed[:, None] ^ jnp.uint32(0x9E3779B9) * jnp.uint32(block_idx + 1)
     )
-    b_ids = jnp.arange(batch, dtype=jnp.uint32)[:, None]
-    h = _mix32(pos[None, :] ^ base ^ _mix32(b_ids * jnp.uint32(0x85EBCA6B)))
+    h = _mix32(pos ^ base)
     h2 = _mix32(h ^ jnp.uint32(0x68E31DA4))
     # Box–Muller from two uniform hashes
     u1 = (h.astype(jnp.float32) + 1.0) / 4294967296.0
@@ -280,7 +282,7 @@ def codes_to_latent(
     return z
 
 
-def _mask_tail(x: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+def _mask_tail(x: jnp.ndarray, valid) -> jnp.ndarray:
     """Zero positions ≥ valid along the time axis (no-op when valid is None).
 
     Re-zeroing the pad zone after every spreading op makes a bucket-padded
@@ -289,11 +291,17 @@ def _mask_tail(x: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
     apply at a true sequence end. Without this, pad *codes* act as fake
     future context and corrupt the last ~2.3 frames (the vocoder's
     influence reach) of every flush.
+
+    `valid` may be a scalar or per-batch (B,) — batched multi-stream windows
+    carry different content lengths.
     """
     if valid is None:
         return x
+    valid = jnp.asarray(valid, jnp.int32)
+    if valid.ndim == 0:
+        valid = valid[None]
     t = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :, None]
-    return jnp.where(t < valid, x, jnp.zeros_like(x))
+    return jnp.where(t < valid[:, None, None], x, jnp.zeros_like(x))
 
 
 def _residual_unit(x, p, dilation, groups, valid=None):
@@ -353,7 +361,7 @@ def decode_latent(
         if use_noise and bp["noise_lin"] is not None:
             h = conv1d(x, bp["noise_lin"]["w"])
             noise = position_noise(
-                noise_seed, i,
+                jnp.asarray(noise_seed, jnp.uint32), i,
                 jnp.asarray(latent_offset, jnp.uint32) * jnp.uint32(up_total),
                 x.shape[1], x.shape[0],
             )
@@ -426,22 +434,47 @@ class SnacDecoder:
     ) -> np.ndarray:
         """Decode n frames (host API). Returns (samples,) float32 for the
         *actual* n frames, padding/truncating internally to a bucket."""
-        n = int(l1.shape[-1])
-        nb = self.bucket_frames(n)
+        out = self.decode_frames_batch(
+            [(np.asarray(l1), np.asarray(l2), np.asarray(l3))],
+            first_frames=[first_frame], noise_seeds=[noise_seed],
+        )
+        return out[0]
+
+    def decode_frames_batch(
+        self,
+        layers,                 # list of (l1 (n_i,), l2 (2n_i,), l3 (4n_i,))
+        *,
+        first_frames,
+        noise_seeds,
+    ) -> list:
+        """Decode several independent frame windows in ONE device call.
+
+        The multi-stream scheduler stacks every stream's pending window here
+        each tick — one dispatch round-trip instead of one per stream. Rows
+        pad to the common bucket; per-row valid-length masks keep each
+        decode bit-identical to its solo decode.
+        """
+        n_rows = len(layers)
+        ns = [int(l1.shape[-1]) for l1, _, _ in layers]
+        nb = self.bucket_frames(max(ns))
         spf = self.cfg.samples_per_frame
+        lat = max(self.cfg.vq_strides)
 
-        def pad(x, tgt):
-            x = np.asarray(x, dtype=np.int32)[None, :]
-            if x.shape[1] < tgt:
-                x = np.pad(x, ((0, 0), (0, tgt - x.shape[1])))
-            return jnp.asarray(x)
+        def stack(idx, mult):
+            out = np.zeros((n_rows, mult * nb), np.int32)
+            for r, lay in enumerate(layers):
+                x = np.asarray(lay[idx], dtype=np.int32)
+                out[r, : x.shape[-1]] = x
+            return jnp.asarray(out)
 
-        codes = (pad(l1, nb), pad(l2, 2 * nb), pad(l3, 4 * nb))
-        lat_per_frame = max(self.cfg.vq_strides)
+        codes = (stack(0, 1), stack(1, 2), stack(2, 4))
         audio = self._decode(
             self.params, self.cfg, codes,
-            noise_seed=noise_seed,
-            latent_offset=first_frame * lat_per_frame,
-            valid_latent=jnp.int32(n * lat_per_frame),
+            noise_seed=jnp.asarray(list(noise_seeds), jnp.uint32),
+            latent_offset=jnp.asarray(
+                [f * lat for f in first_frames], jnp.uint32
+            ),
+            valid_latent=jnp.asarray([n * lat for n in ns], jnp.int32),
         )
-        return np.asarray(audio[0, : n * spf])
+        host = np.asarray(audio)
+        return [host[r, : ns[r] * spf] for r in range(n_rows)]

@@ -34,6 +34,16 @@ from tts_inference_tpu.config import StreamConfig
 from tts_inference_tpu.models.snac import SnacDecoder
 
 
+@dataclasses.dataclass(frozen=True)
+class WindowPlan:
+    """Decode frames [w0, w1); emit samples [lo, hi) of that decode."""
+
+    w0: int
+    w1: int
+    lo: int
+    hi: int
+
+
 @dataclasses.dataclass
 class LookaheadStreamingDecoder:
     """Incremental codes → stable PCM samples.
@@ -62,45 +72,64 @@ class LookaheadStreamingDecoder:
     def feed(self, new_codes) -> None:
         self.codes.extend(int(c) for c in new_codes)
 
-    def _decode_window(self, w0: int, w1: int) -> np.ndarray:
-        """Decode frames [w0, w1); returns float32 samples for that span."""
-        flat = np.asarray(
-            self.codes[w0 * protocol.FRAME_SIZE : w1 * protocol.FRAME_SIZE],
-            dtype=np.int32,
-        )
-        l1, l2, l3 = protocol.deinterleave_frames(flat)
-        self.decode_calls += 1
-        self.frames_decoded_total += w1 - w0
-        return self.decoder.decode_frames(
-            l1, l2, l3, noise_seed=self.noise_seed, first_frame=w0
-        )
+    def plan(self, flush: bool = False) -> Optional["WindowPlan"]:
+        """Decide the next decode window + emission span WITHOUT decoding.
 
-    def _emit(self, stable_end_frame: int) -> Optional[np.ndarray]:
-        stable_end = stable_end_frame * self.spf
+        The multi-stream scheduler collects plans from every stream per tick
+        and batch-decodes them in one device call; `execute()` runs a single
+        plan (the single-stream path). A returned plan must be passed to
+        exactly one of execute()/commit().
+        """
+        if flush:
+            stable_frames = self.total_frames
+        else:
+            stable_frames = self.total_frames - self.stream_cfg.lookahead_frames
+            need = (self.stream_cfg.first_chunk_frames
+                    if self.samples_emitted == 0
+                    else self.stream_cfg.frames_per_chunk)
+            pending = stable_frames - self.samples_emitted // self.spf
+            if pending < max(1, need):
+                return None
+        stable_end = stable_frames * self.spf
         if stable_end <= self.samples_emitted:
             return None
         emit_frame = self.samples_emitted // self.spf
         w0 = max(0, emit_frame - self.stream_cfg.left_context_frames)
-        audio = self._decode_window(w0, self.total_frames)
-        lo = self.samples_emitted - w0 * self.spf
-        hi = stable_end - w0 * self.spf
-        out = audio[lo:hi]
-        self.samples_emitted = stable_end
-        return out
+        return WindowPlan(
+            w0=w0,
+            w1=self.total_frames,
+            lo=self.samples_emitted - w0 * self.spf,
+            hi=stable_end - w0 * self.spf,
+        )
+
+    def window_layers(self, plan: "WindowPlan"):
+        flat = np.asarray(
+            self.codes[plan.w0 * protocol.FRAME_SIZE
+                       : plan.w1 * protocol.FRAME_SIZE],
+            dtype=np.int32,
+        )
+        return protocol.deinterleave_frames(flat)
+
+    def commit(self, plan: "WindowPlan") -> None:
+        """Advance emission bookkeeping for a plan decoded externally."""
+        self.decode_calls += 1
+        self.frames_decoded_total += plan.w1 - plan.w0
+        self.samples_emitted = plan.hi + plan.w0 * self.spf
+
+    def execute(self, plan: "WindowPlan") -> np.ndarray:
+        l1, l2, l3 = self.window_layers(plan)
+        audio = self.decoder.decode_frames(
+            l1, l2, l3, noise_seed=self.noise_seed, first_frame=plan.w0
+        )
+        self.commit(plan)
+        return audio[plan.lo : plan.hi]
 
     def poll(self) -> Optional[np.ndarray]:
         """Newly stable samples given current buffer (None if not enough)."""
-        stable_frames = self.total_frames - self.stream_cfg.lookahead_frames
-        # only decode when a full chunk of new frames is stable; the FIRST
-        # chunk may be smaller (first_chunk_frames) to cut TTFA
-        need = (self.stream_cfg.first_chunk_frames
-                if self.samples_emitted == 0
-                else self.stream_cfg.frames_per_chunk)
-        pending = stable_frames - self.samples_emitted // self.spf
-        if pending < max(1, need):
-            return None
-        return self._emit(stable_frames)
+        plan = self.plan()
+        return None if plan is None else self.execute(plan)
 
     def flush(self) -> Optional[np.ndarray]:
         """EOS: emit all remaining samples (now stable with full context)."""
-        return self._emit(self.total_frames)
+        plan = self.plan(flush=True)
+        return None if plan is None else self.execute(plan)
