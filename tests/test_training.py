@@ -125,3 +125,11 @@ def test_orbax_checkpoint_serves(tmp_path):
                                   repetition_penalty=1.0)
     )
     assert len(res.token_ids) >= 1
+
+
+def test_dataset_inspect(rng):
+    recs = D.synthetic_records(rng, n=12)
+    rep = D.inspect(recs)
+    assert rep["records"] == 12
+    assert rep["fields"]["text"] == 12
+    assert "mean" in rep["text_chars"]

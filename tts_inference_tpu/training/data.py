@@ -144,3 +144,51 @@ def batches(
         for i, s in enumerate(buf_tokens):
             out[i, : len(s)] = s
         yield out, np.asarray(buf_lens, np.int32)
+
+
+def inspect(records: Sequence[dict]) -> dict:
+    """Dataset schema dump + tag census (reference: inspect_dataset.py:16-85)."""
+    import collections
+
+    fields = collections.Counter()
+    tag_counts = collections.Counter()
+    text_lens, code_lens = [], []
+    for r in records:
+        for k in r:
+            fields[k] += 1
+        text = r.get("text", "")
+        text_lens.append(len(text))
+        tag_counts.update(TAG_RE.findall(text))
+        if r.get("codes"):
+            code_lens.append(len(r["codes"]))
+    def stats(xs):
+        return ({"min": min(xs), "max": max(xs),
+                 "mean": round(sum(xs) / len(xs), 1)} if xs else {})
+    return {
+        "records": len(records),
+        "fields": dict(fields),
+        "text_chars": stats(text_lens),
+        "audio_codes": stats(code_lens),
+        "tags": dict(tag_counts),
+    }
+
+
+def _main(argv=None) -> int:
+    """CLI: python -m tts_inference_tpu.training.data --dataset x.jsonl"""
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", help="JSONL path (omit for synthetic demo)")
+    ap.add_argument("--synthetic-records", type=int, default=32)
+    args = ap.parse_args(argv)
+    recs = (load_jsonl(args.dataset) if args.dataset
+            else synthetic_records(np.random.default_rng(0),
+                                   n=args.synthetic_records))
+    print(json.dumps(inspect(recs), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(_main())
