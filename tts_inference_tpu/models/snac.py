@@ -450,31 +450,41 @@ class SnacDecoder:
         """Decode several independent frame windows in ONE device call.
 
         The multi-stream scheduler stacks every stream's pending window here
-        each tick — one dispatch round-trip instead of one per stream. Rows
-        pad to the common bucket; per-row valid-length masks keep each
-        decode bit-identical to its solo decode.
+        each tick — one dispatch round-trip instead of one per stream.
+        BOTH dimensions are bucketed (rows to the next power of two, frames
+        to frame_buckets) so the number of compiled graph shapes stays tiny;
+        per-row valid-length masks keep each decode bit-identical to its
+        solo decode and dummy pad rows are fully masked.
         """
         n_rows = len(layers)
         ns = [int(l1.shape[-1]) for l1, _, _ in layers]
         nb = self.bucket_frames(max(ns))
+        rb = 1
+        while rb < n_rows:
+            rb *= 2
         spf = self.cfg.samples_per_frame
         lat = max(self.cfg.vq_strides)
 
         def stack(idx, mult):
-            out = np.zeros((n_rows, mult * nb), np.int32)
+            out = np.zeros((rb, mult * nb), np.int32)
             for r, lay in enumerate(layers):
                 x = np.asarray(lay[idx], dtype=np.int32)
                 out[r, : x.shape[-1]] = x
             return jnp.asarray(out)
 
+        def pad_vec(vals, dtype):
+            out = np.zeros(rb, dtype)
+            out[:n_rows] = vals
+            return jnp.asarray(out)
+
         codes = (stack(0, 1), stack(1, 2), stack(2, 4))
         audio = self._decode(
             self.params, self.cfg, codes,
-            noise_seed=jnp.asarray(list(noise_seeds), jnp.uint32),
-            latent_offset=jnp.asarray(
-                [f * lat for f in first_frames], jnp.uint32
+            noise_seed=pad_vec(list(noise_seeds), np.uint32),
+            latent_offset=pad_vec(
+                [f * lat for f in first_frames], np.uint32
             ),
-            valid_latent=jnp.asarray([n * lat for n in ns], jnp.int32),
+            valid_latent=pad_vec([n * lat for n in ns], np.int32),
         )
         host = np.asarray(audio)
         return [host[r, : ns[r] * spf] for r in range(n_rows)]
