@@ -159,3 +159,25 @@ def test_receptive_field_bounded(torch_and_jax):
     # nondeterministic noise.
     assert left_reach <= 3 * spf, f"left reach {left_reach} samples"
     assert right_reach <= 3 * spf, f"right reach {right_reach} samples"
+
+
+def test_decode_frames_batch_matches_solo(torch_and_jax):
+    """Stacked multi-window decode (different lengths/offsets/seeds, padded
+    rows) must match each window's solo decode to float tolerance."""
+    _, params = torch_and_jax
+    dec = jsnac.SnacDecoder(params, TINY, frame_buckets=(8, 16))
+    rng = np.random.default_rng(9)
+    specs = [(5, 0, 1), (8, 4, 2), (3, 11, 3)]   # (frames, first_frame, seed)
+    layers, solos = [], []
+    for n, f0, seed in specs:
+        c = rand_codes(rng, TINY, n)
+        l1, l2, l3 = c[0][0], c[1][0], c[2][0]
+        layers.append((l1, l2, l3))
+        solos.append(dec.decode_frames(l1, l2, l3, noise_seed=seed,
+                                       first_frame=f0))
+    outs = dec.decode_frames_batch(
+        layers, first_frames=[s[1] for s in specs],
+        noise_seeds=[s[2] for s in specs],
+    )
+    for got, want in zip(outs, solos):
+        np.testing.assert_allclose(got, want, atol=2e-5)
