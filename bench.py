@@ -104,7 +104,6 @@ def run_single(rt, tokens: int) -> dict:
 
 
 def run_concurrent(rt, tokens: int, streams: int) -> dict:
-    import threading
 
     import numpy as np
 
@@ -125,33 +124,44 @@ def run_concurrent(rt, tokens: int, streams: int) -> dict:
             )
             for i in range(streams)
         ]
-        stats = {}
         t0 = time.perf_counter()
-
-        def drain(i, req):
-            ttfa, gaps, last, samples = None, [], None, 0
-            for chunk in req.iter_chunks(timeout=1200):
-                now = time.perf_counter()
-                ttfa = ttfa if ttfa is not None else (now - t0) * 1000.0
-                if last is not None:
-                    gaps.append((now - last) * 1000.0)
-                last = now
-                samples += chunk.samples
-            stats[i] = {
-                "ttfa_ms": ttfa or 0.0,
-                "audio_s": samples / P.SAMPLE_RATE,
-                "max_gap_ms": max(gaps) if gaps else 0.0,
-            }
-
-        threads = []
-        for i, r in enumerate(reqs):
+        for r in reqs:
             sched.submit(r)
-            th = threading.Thread(target=drain, args=(i, r))
-            th.start()
-            threads.append(th)
-        for th in threads:
-            th.join()
+        # single multiplexing collector (like the server's event loop);
+        # one thread per stream serializes on the GIL and inflates gaps
+        stats = {
+            i: {"ttfa_ms": None, "samples": 0, "last": None, "gaps": []}
+            for i in range(streams)
+        }
+        done = 0
+        while done < streams:
+            progress = False
+            for i, r in enumerate(reqs):
+                try:
+                    kind, payload = r.events.get_nowait()
+                except Exception:
+                    continue
+                progress = True
+                now = time.perf_counter()
+                s = stats[i]
+                if kind == "chunk":
+                    if s["ttfa_ms"] is None:
+                        s["ttfa_ms"] = (now - t0) * 1000.0
+                    if s["last"] is not None:
+                        s["gaps"].append((now - s["last"]) * 1000.0)
+                    s["last"] = now
+                    s["samples"] += payload.samples
+                elif kind == "done":
+                    done += 1
+                else:
+                    raise RuntimeError(payload)
+            if not progress:
+                time.sleep(0.002)
         wall = time.perf_counter() - t0
+        for s in stats.values():
+            s["ttfa_ms"] = s["ttfa_ms"] or 0.0
+            s["audio_s"] = s["samples"] / P.SAMPLE_RATE
+            s["max_gap_ms"] = max(s["gaps"]) if s["gaps"] else 0.0
         total_audio = sum(s["audio_s"] for s in stats.values())
         return {
             "wall_s": wall,
