@@ -29,7 +29,8 @@ import time
 BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 
 
-def build_runtime(smoke: bool, quantize: bool = False):
+def build_runtime(smoke: bool, quantize: bool = False,
+                  steps_per_call: int = 7):
     from tts_inference_tpu.config import Config, EngineConfig, tiny_config
     from tts_inference_tpu.runtime import Runtime
 
@@ -41,6 +42,7 @@ def build_runtime(smoke: bool, quantize: bool = False):
             max_output_len=2048,
             max_batch_size=8,
             prefill_buckets=(128,),
+            decode_steps_per_call=steps_per_call,
         ),
     )
     return Runtime.create(cfg, warmup=False, quantize=quantize)
@@ -193,6 +195,8 @@ def main() -> int:
                     help="disable int8 weight-only quantization (the "
                          "default serving configuration)")
     ap.set_defaults(quantize=True)
+    ap.add_argument("--steps-per-call", type=int, default=7,
+                    help="decode tokens per device dispatch (tick size)")
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -200,7 +204,7 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    rt = build_runtime(args.smoke, args.quantize)
+    rt = build_runtime(args.smoke, args.quantize, args.steps_per_call)
     if args.mode == "single":
         warm = run_single(rt, args.tokens)
         result = {
