@@ -129,3 +129,22 @@ def test_ws_client_against_live_server(tmp_path):
     assert r.server_ttfa_ms is not None
     assert r.audio_duration_ms == pytest.approx(10 * 2048 / 24.0, rel=0.01)
     assert os.path.exists(wav)
+
+
+def test_ood_validate_output(rng):
+    from benchmarks.ood_benchmark import OOD_PROMPTS, validate_output
+    from tts_inference_tpu import protocol as P
+
+    assert len(OOD_PROMPTS) == 10
+    codes = []
+    for _ in range(2):
+        for p in range(P.FRAME_SIZE):
+            codes.append(int(rng.integers(0, P.CODEBOOK_SIZE))
+                         + P.POSITION_OFFSETS[p] + P.TOKEN_AUDIO_BASE)
+    toks = [P.TOKEN_SOS] + codes + [P.TOKEN_EOS]
+    v = validate_output(toks)
+    assert v["valid"] and v["terminated"] and v["complete_frames"] == 2
+    # corrupt a position offset → invalid
+    toks[3] = P.TOKEN_AUDIO_BASE  # pos 2 must carry offset 2*4096
+    v2 = validate_output(toks)
+    assert not v2["valid"] and v2["offset_violations"] >= 1

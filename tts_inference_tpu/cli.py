@@ -120,6 +120,24 @@ def cmd_aot_compile(args) -> int:
     return 0
 
 
+def cmd_devices(args) -> int:
+    """Device visibility check (reference: test_gpu.py nvidia-smi)."""
+    import jax
+
+    try:
+        devices = jax.devices()
+    except RuntimeError:
+        # configured platform unavailable — fall back to autodetect
+        jax.config.update("jax_platforms", "")
+        devices = jax.devices()
+    print(json.dumps({
+        "platform": devices[0].platform,
+        "devices": [str(d) for d in devices],
+        "device_count": len(devices),
+    }))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from tts_inference_tpu.serving.app import run_app
 
@@ -176,6 +194,9 @@ def main(argv=None) -> int:
     s.add_argument("--multi-stream", action="store_true",
                    help="continuous-batching scheduler (concurrent streams)")
     s.set_defaults(fn=cmd_serve)
+
+    dv = sub.add_parser("devices", help="device visibility check")
+    dv.set_defaults(fn=cmd_devices)
 
     args = ap.parse_args(argv)
     return args.fn(args)

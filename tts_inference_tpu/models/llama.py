@@ -220,7 +220,8 @@ def _layer(
 
         def write(c, new):
             return c.at[batch_idx, eff_pos].set(
-                new[:, 0].astype(c.dtype), mode="drop"
+                new[:, 0].astype(c.dtype), mode="drop",
+                unique_indices=True, indices_are_sorted=True,
             )
     else:
         def write(c, new):
