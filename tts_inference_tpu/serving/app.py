@@ -112,7 +112,11 @@ class Server:
                 yield chunk
             return
         loop = asyncio.get_running_loop()
-        q: asyncio.Queue = asyncio.Queue(maxsize=64)
+        # unbounded: if the client disconnects mid-stream the consumer stops
+        # draining, and a bounded queue would park the worker thread forever
+        # on a put that never completes (generation is already bounded by
+        # max_tokens, so the worker always terminates)
+        q: asyncio.Queue = asyncio.Queue()
         DONE, ERR = object(), object()
 
         def worker():
