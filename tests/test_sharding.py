@@ -55,7 +55,7 @@ def test_sharded_forward_matches_unsharded(mesh, params):
 
     sp = M.shard_tree(params, M.llama_param_pspecs(CFG), mesh)
     scache = M.shard_tree(
-        llama.init_kv_cache(CFG, 4, 32), M.kv_cache_pspecs(), mesh
+        llama.init_kv_cache(CFG, 4, 32), M.kv_cache_pspecs(CFG), mesh
     )
     stoks = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
     slens = jax.device_put(lens, NamedSharding(mesh, P("dp")))
@@ -91,7 +91,7 @@ def test_sharded_decode_step_matches(mesh, params):
     sp = M.shard_tree(params, M.llama_param_pspecs(CFG), mesh)
     # dp=2 over batch 2; kv heads over tp
     scache = M.shard_tree(
-        llama.init_kv_cache(CFG, 2, 32), M.kv_cache_pspecs(), mesh
+        llama.init_kv_cache(CFG, 2, 32), M.kv_cache_pspecs(CFG), mesh
     )
     with mesh:
         got = run(sp, scache)

@@ -134,7 +134,7 @@ class EngineCore:
         sparams, last_tok, active,
     ):
         """n_steps decode steps under lax.scan. Emits (B, n) tokens."""
-        max_seq = cache.k.shape[2]
+        max_seq = cache.max_seq
 
         def body(carry, _):
             cache, sstate, tok, active = carry

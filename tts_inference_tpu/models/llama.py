@@ -131,25 +131,32 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
 class KVCache(NamedTuple):
     """Dense slotted KV cache.
 
-    k/v: (layers, batch, max_seq, kv_heads, head_dim) — batch is the
-    continuous-batching slot axis; kv_heads shardable over TP.
-    lengths: (batch,) int32 — tokens currently valid per slot.
+    k/v: per-layer tuples of (batch, max_seq, kv_heads, head_dim) arrays —
+    SEPARATE pytree leaves on purpose: a single stacked (L, …) array forces
+    jnp.stack(new_layers) every forward, i.e. a full-cache copy per decoded
+    token (measured ~1–10 ms/token of pure HBM copy). Per-layer leaves let
+    XLA update each layer's buffer in place through jit donation and scan
+    carries. batch is the continuous-batching slot axis; kv_heads shardable
+    over TP. lengths: (batch,) int32 — tokens currently valid per slot.
     """
 
-    k: jnp.ndarray
-    v: jnp.ndarray
+    k: tuple
+    v: tuple
     lengths: jnp.ndarray
+
+    @property
+    def max_seq(self) -> int:
+        return self.k[0].shape[1]
 
 
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=None
 ) -> KVCache:
     dt = dtype or param_dtype(cfg)
-    shape = (cfg.num_hidden_layers, batch, max_seq,
-             cfg.num_key_value_heads, cfg.head_dim)
+    shape = (batch, max_seq, cfg.num_key_value_heads, cfg.head_dim)
     return KVCache(
-        k=jnp.zeros(shape, dt),
-        v=jnp.zeros(shape, dt),
+        k=tuple(jnp.zeros(shape, dt) for _ in range(cfg.num_hidden_layers)),
+        v=tuple(jnp.zeros(shape, dt) for _ in range(cfg.num_hidden_layers)),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -279,7 +286,7 @@ def forward(
     sequences wastes most of the bandwidth; the engine buckets it.
     """
     b, s = tokens.shape
-    max_seq = cache.k.shape[2]
+    max_seq = cache.max_seq
     window = max_seq if kv_window is None else min(kv_window, max_seq)
 
     positions = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
@@ -304,7 +311,7 @@ def forward(
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
     new_cache = KVCache(
-        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        k=tuple(new_k), v=tuple(new_v),
         lengths=jnp.maximum(cache.lengths, write_pos + seg_lens),
     )
     return x, new_cache

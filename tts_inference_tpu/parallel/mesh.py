@@ -73,13 +73,15 @@ def llama_param_pspecs(model_cfg: ModelConfig) -> Dict[str, Any]:
     return specs
 
 
-def kv_cache_pspecs():
+def kv_cache_pspecs(model_cfg: ModelConfig):
     """KVCache(k, v, lengths): batch slots over dp, kv heads over tp."""
     from tts_inference_tpu.models.llama import KVCache
 
+    spec = P("dp", None, "tp", None)
+    n = model_cfg.num_hidden_layers
     return KVCache(
-        k=P(None, "dp", None, "tp", None),
-        v=P(None, "dp", None, "tp", None),
+        k=tuple(spec for _ in range(n)),
+        v=tuple(spec for _ in range(n)),
         lengths=P("dp"),
     )
 
