@@ -63,7 +63,7 @@ def stream_cfg():
 
     # lookahead 3 is bit-exact for our vocoder (influence reach ±2.29
     # frames, test-enforced); first chunk emits at 1 stable frame
-    return StreamConfig(frames_per_chunk=5, first_chunk_frames=1,
+    return StreamConfig(frames_per_chunk=4, first_chunk_frames=1,
                         lookahead_frames=3, left_context_frames=6)
 
 
