@@ -129,3 +129,42 @@ def test_empty_flush(decoder):
     la = LookaheadStreamingDecoder(decoder, StreamConfig())
     assert la.poll() is None
     assert la.flush() is None
+
+
+def test_progressive_first_chunk_lookahead(decoder):
+    """first_chunk_lookahead=1 emits the first chunk 2 frames earlier; all
+    subsequent chunks remain bit-exact vs batch decode."""
+    rng = np.random.default_rng(7)
+    codes = make_codes(rng, 20)
+    full = batch_decode(decoder, codes, seed=0)
+
+    la = LookaheadStreamingDecoder(
+        decoder,
+        StreamConfig(frames_per_chunk=2, first_chunk_frames=1,
+                     lookahead_frames=3, first_chunk_lookahead=1,
+                     left_context_frames=4),
+        noise_seed=0,
+    )
+    first_at = None
+    chunks = []
+    for f in range(20):
+        la.feed(codes[f * P.FRAME_SIZE : (f + 1) * P.FRAME_SIZE])
+        out = la.poll()
+        if out is not None:
+            if first_at is None:
+                first_at = f
+            chunks.append(out)
+    tail = la.flush()
+    if tail is not None:
+        chunks.append(tail)
+    # first emission after 2 frames buffered (1 chunk + 1 lookahead),
+    # vs 4 with the regular lookahead
+    assert first_at == 1
+    got = np.concatenate(chunks)
+    assert got.shape == full.shape
+    spf = decoder.cfg.samples_per_frame
+    # everything past the first chunk is still exact
+    np.testing.assert_allclose(got[spf:], full[spf:], atol=2e-5)
+    # the first chunk deviates only within the influence reach and mildly
+    err = np.abs(got[:spf] - full[:spf])
+    assert err.max() < 0.5 and float((err ** 2).mean()) < 1e-3

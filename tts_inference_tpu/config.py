@@ -185,6 +185,11 @@ class StreamConfig:
     frames_per_chunk: int = 5
     first_chunk_frames: int = 1
     lookahead_frames: int = 3
+    # Optional smaller lookahead for the FIRST emission only (progressive
+    # lookahead): e.g. 2 shaves ~85 ms off TTFA at the cost of a bounded,
+    # tiny deviation in the first chunk's final 0.29 frames (the influence
+    # reach is 2.29). None = use lookahead_frames (bit-exact).
+    first_chunk_lookahead: Optional[int] = None
     # Left context for windowed re-decode. The reference re-decodes from
     # frame 0 every chunk (O(n²)); we decode a bounded window whose margin
     # covers the vocoder receptive field, making streaming O(n) and

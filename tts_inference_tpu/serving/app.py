@@ -82,6 +82,9 @@ def parse_request(data: dict, defaults: SamplingConfig,
         lookahead_frames=int(
             data.get("lookahead_frames", stream_defaults.lookahead_frames)
         ),
+        first_chunk_lookahead=data.get(
+            "first_chunk_lookahead", stream_defaults.first_chunk_lookahead
+        ),
     )
     opts = {
         "benchmark": bool(data.get("benchmark", False)),

@@ -83,9 +83,12 @@ class LookaheadStreamingDecoder:
         if flush:
             stable_frames = self.total_frames
         else:
-            stable_frames = self.total_frames - self.stream_cfg.lookahead_frames
-            need = (self.stream_cfg.first_chunk_frames
-                    if self.samples_emitted == 0
+            first = self.samples_emitted == 0
+            lookahead = self.stream_cfg.lookahead_frames
+            if first and self.stream_cfg.first_chunk_lookahead is not None:
+                lookahead = self.stream_cfg.first_chunk_lookahead
+            stable_frames = self.total_frames - lookahead
+            need = (self.stream_cfg.first_chunk_frames if first
                     else self.stream_cfg.frames_per_chunk)
             pending = stable_frames - self.samples_emitted // self.spf
             if pending < max(1, need):
