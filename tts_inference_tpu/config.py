@@ -85,6 +85,14 @@ class ModelConfig:
             ),
             max_position_embeddings=d.get("max_position_embeddings", 131072),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
+            dtype={
+                "float32": "float32", "float16": "float16",
+                "bfloat16": "bfloat16",
+            }.get(
+                # transformers ≥4.56 writes "dtype"; older wrote "torch_dtype"
+                str(d.get("dtype", d.get("torch_dtype", "bfloat16"))),
+                "bfloat16",
+            ),
         )
 
 
