@@ -98,6 +98,13 @@ class EngineCore:
             static_argnums=(0, 1),
             donate_argnums=(3, 4),
         )
+        # fused: (n_steps, kv_window, params, tokens, lens, cache, sstate,
+        #         sparams, slot_mask, last_tok, active)
+        self._prefill_decode = jax.jit(
+            partial(self._prefill_decode_impl, model_cfg, eos_id),
+            static_argnums=(0, 1),
+            donate_argnums=(5, 6),
+        )
 
     # -- device code --------------------------------------------------------
 
@@ -127,6 +134,44 @@ class EngineCore:
             key=jnp.where(slot_mask[:, None], new_state.key, sstate.key),
         )
         return tok, cache, sstate
+
+    @staticmethod
+    def _prefill_decode_impl(
+        model_cfg, eos_id, n_steps, kv_window, params, tokens, lens, cache,
+        sstate, sparams, slot_mask, last_tok, active,
+    ):
+        """Fused prefill + n decode steps in ONE dispatch.
+
+        Saves a host round-trip on the TTFA-critical path: the prompt
+        prefills, its first token samples, and n more tokens decode without
+        the host ever seeing the intermediate state. Non-admitted slots keep
+        decoding with their own last_tok/active (so the scheduler could use
+        this as a combined admit+tick too). Returns (toks (B, n+1), tok,
+        active, cache, sstate) where column 0 is the prefill-sampled token
+        (EOS-padded for non-admitted slots only in later columns).
+        """
+        seg = jnp.where(slot_mask, lens, 0)
+        logits, cache = llama.prefill(
+            params, model_cfg, tokens, seg, cache, kv_window=tokens.shape[1]
+        )
+        marked = S.mark_prompt(sstate, tokens, seg)
+        ptok, new_state = S.sample(logits, sparams, marked)
+        sstate = S.SamplingState(
+            presence=jnp.where(
+                slot_mask[:, None], new_state.presence, sstate.presence
+            ),
+            key=jnp.where(slot_mask[:, None], new_state.key, sstate.key),
+        )
+        tok0 = jnp.where(slot_mask, ptok, last_tok)
+        active0 = jnp.where(slot_mask, ptok != eos_id, active)
+        toks, tok, active, cache, sstate = EngineCore._decode_impl(
+            model_cfg, eos_id, n_steps, kv_window, params, cache, sstate,
+            sparams, tok0, active0,
+        )
+        return (
+            jnp.concatenate([tok0[:, None], toks], axis=1),
+            tok, active, cache, sstate,
+        )
 
     @staticmethod
     def _decode_impl(
@@ -216,6 +261,42 @@ class EngineCore:
         for p, slot in zip(prompts, slots):
             self._len_bounds[slot] = min(len(p), bucket) + 1
         return np.asarray(tok)
+
+    def prefill_decode_launch(
+        self,
+        prompts: Sequence[Sequence[int]],
+        slots: Sequence[int],
+        sparams: S.SamplingParams,
+        last_tok,
+        active,
+        n: Optional[int] = None,
+    ):
+        """Fused admission prefill + n decode steps, launched without
+        waiting. Returns device arrays (toks (B, n+1) incl. the prefill
+        token in column 0, last_tok, active)."""
+        n = n or self.engine_cfg.decode_steps_per_call
+        assert len(prompts) == len(slots)
+        bucket = self.bucket_len(max((len(p) for p in prompts), default=1))
+        tokens = np.zeros((self.batch, bucket), np.int32)
+        lens = np.zeros((self.batch,), np.int32)
+        mask = np.zeros((self.batch,), bool)
+        for p, sl in zip(prompts, slots):
+            p = list(p)[:bucket]
+            tokens[sl, : len(p)] = p
+            lens[sl] = len(p)
+            mask[sl] = True
+        self.reset_slots(slots)
+        for p, sl in zip(prompts, slots):
+            self._len_bounds[sl] = min(len(p), bucket) + 1
+        needed = int(self._len_bounds.max(initial=0)) + n + 1
+        window = self.kv_bucket(needed)
+        toks, tok, act, self.cache, self.sampling_state = self._prefill_decode(
+            n, window, self.params, jnp.asarray(tokens), jnp.asarray(lens),
+            self.cache, self.sampling_state, sparams, jnp.asarray(mask),
+            jnp.asarray(last_tok, jnp.int32), jnp.asarray(active),
+        )
+        self._len_bounds[self._len_bounds > 0] += n
+        return toks, tok, act
 
     def decode_steps_launch(
         self,
@@ -314,29 +395,32 @@ class GenerationEngine:
 
         if sampling.seed is not None:
             core.seed_slots([0], [sampling.seed])
-        first = core.prefill_slots([list(prompt_ids)], [0], sp)
-        produced = 1
-        yield [int(first[0])]
-        if first[0] == self.eos_id:
-            return
         max_new = sampling.max_tokens
         n_default = steps_per_yield or self.engine_cfg.decode_steps_per_call
 
         # 1-deep pipelined dispatch: the next decode call is launched before
         # this call's tokens are fetched, chaining tok/active device-to-
         # device, so the host fetch (tunnel RTT) overlaps device compute.
-        tok_d, act_d = jnp.asarray(first, jnp.int32), jnp.ones(1, bool)
-        n = min(n_default, max_new - produced)
-        pending = core.decode_steps_launch(sp, tok_d, act_d, n) if n else None
+        # The first dispatch fuses prefill + the first decode steps (one
+        # fewer round-trip on the TTFA-critical path).
+        n_first = max(0, min(n_default - 1, max_new - 1))
+        pending = core.prefill_decode_launch(
+            [list(prompt_ids)], [0], sp,
+            np.zeros(core.batch, np.int32), np.zeros(core.batch, bool),
+            n=max(n_first, 1),
+        )
+        produced = 0
         while pending is not None:
             toks_d, tok_d, act_d = pending
-            budget = max_new - produced - toks_d.shape[1]
+            n_cols = toks_d.shape[1]
+            budget = max_new - produced - n_cols
             n_next = min(n_default, budget)
             pending = (
                 core.decode_steps_launch(sp, tok_d, act_d, n_next)
                 if n_next > 0 else None
             )
             row = np.asarray(toks_d)[0].tolist()   # sync overlaps next call
+            row = row[: max_new - produced]
             if self.eos_id in row:
                 row = row[: row.index(self.eos_id) + 1]
                 pending = None
