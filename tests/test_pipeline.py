@@ -95,3 +95,17 @@ def test_cli_generate_tiny(tmp_path):
     audio, rate = read_wav(str(out))
     assert rate == P.SAMPLE_RATE
     assert len(audio) == 5 * P.SAMPLES_PER_FRAME
+
+
+def test_last_sos_restart_drops_buffered_segment(rt):
+    """A mid-stream SOS with last_sos extraction discards un-emitted frames
+    (segments must not mix); protocol layer exposes restart_count."""
+    from tts_inference_tpu import protocol as P2
+
+    ex = P2.TokenExtractor(restart_on_sos=True)
+    ex.feed(P2.TOKEN_SOS)
+    frame = [p * P2.CODEBOOK_SIZE + 1 + P2.TOKEN_AUDIO_BASE for p in range(7)]
+    ex.feed_many(frame)
+    assert ex.restart_count == 0 and len(ex.codes) == 7
+    ex.feed(P2.TOKEN_SOS)
+    assert ex.restart_count == 1 and len(ex.codes) == 0

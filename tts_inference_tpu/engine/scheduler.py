@@ -97,6 +97,7 @@ class _SlotState:
         self.metrics = StreamMetrics()
         self.produced = 0
         self.chunk_index = 0
+        self._restarts_seen = 0
         self.t0 = time.perf_counter()
 
     def _ms(self) -> float:
@@ -123,6 +124,15 @@ class _SlotState:
         self.produced += len(row)
         self.metrics.tokens = self.produced
         codes = self.extractor.feed_many(row)
+        if self.extractor.restart_count != self._restarts_seen:
+            # last-SOS mid-stream restart: drop un-emitted frames (see
+            # pipeline.stream for the rationale)
+            self._restarts_seen = self.extractor.restart_count
+            if self.metrics.chunks == 0:
+                self.lookahead = LookaheadStreamingDecoder(
+                    self.lookahead.decoder, self.req.stream_cfg,
+                    self.req.noise_seed,
+                )
         if codes:
             self.lookahead.feed(codes)
         if self.extractor.finished:

@@ -115,6 +115,7 @@ class TokenExtractor:
     started: bool = dataclasses.field(default=False, init=False)
     finished: bool = dataclasses.field(default=False, init=False)
     codes: List[int] = dataclasses.field(default_factory=list, init=False)
+    restart_count: int = dataclasses.field(default=0, init=False)
 
     def feed(self, token_id: int) -> List[int]:
         """Feed one token; return newly accepted audio *codes* (offset-free).
@@ -130,6 +131,7 @@ class TokenExtractor:
         if token_id == TOKEN_SOS:
             if self.started and self.restart_on_sos:
                 self.codes.clear()
+                self.restart_count += 1
             self.started = True
             return []
         if not self.started:

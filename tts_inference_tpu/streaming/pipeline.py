@@ -135,15 +135,22 @@ class TTSPipeline:
             metrics.audio_duration_ms += len(samples) / protocol.SAMPLE_RATE * 1e3
             yield AudioChunk(pcm16_bytes(samples), chunk_index, len(samples))
 
+        restarts_seen = 0
         for token_chunk in self.engine.stream(prompt, sampling):
             metrics.ttft_ms = metrics.ttft_ms or timer.mark("ttft_ms")
             metrics.tokens += len(token_chunk)
-            # restart_on_sos may discard previously emitted audio — once
-            # samples are on the wire we cannot unemit; switch the extractor
-            # to first-SOS semantics after first emission (matches the
-            # streaming reference, which gates on first SOS:
-            # modal_audio_stream.py:320-333).
             new_codes = extractor.feed_many(token_chunk)
+            if extractor.restart_count != restarts_seen:
+                # last-SOS mid-stream restart: drop buffered (un-emitted)
+                # frames so segments don't mix. Samples already on the wire
+                # cannot be unemitted — after first emission this degrades
+                # to first-SOS semantics, like the streaming reference
+                # (modal_audio_stream.py:320-333 gates on first SOS only).
+                restarts_seen = extractor.restart_count
+                if metrics.chunks == 0:
+                    la = LookaheadStreamingDecoder(
+                        self.vocoder, scfg, noise_seed
+                    )
             if new_codes:
                 la.feed(new_codes)
                 t0 = time.perf_counter()
