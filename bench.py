@@ -58,19 +58,20 @@ def sampling_for(tokens: int, seed: int):
     )
 
 
-def stream_cfg():
+def stream_cfg(first_lookahead=None):
     from tts_inference_tpu.config import StreamConfig
 
     # lookahead 3 is bit-exact for our vocoder (influence reach ±2.29
     # frames, test-enforced); first chunk emits at 1 stable frame
     return StreamConfig(frames_per_chunk=4, first_chunk_frames=1,
-                        lookahead_frames=3, left_context_frames=6)
+                        lookahead_frames=3, left_context_frames=6,
+                        first_chunk_lookahead=first_lookahead)
 
 
 TEXT = "The quick brown fox jumps over the lazy dog near the river bank."
 
 
-def run_single(rt, tokens: int) -> dict:
+def run_single(rt, tokens: int, first_lookahead=None) -> dict:
     import numpy as np
 
     from tts_inference_tpu import protocol as P
@@ -79,7 +80,8 @@ def run_single(rt, tokens: int) -> dict:
         t0 = time.perf_counter()
         n_samples, ttfa, gaps, last = 0, None, [], None
         for chunk in rt.pipeline.stream(
-            TEXT, "tara", sampling_for(tokens, 0), stream_cfg(),
+            TEXT, "tara", sampling_for(tokens, 0),
+            stream_cfg(first_lookahead),
             force_speech=True,
         ):
             now = time.perf_counter()
@@ -197,6 +199,10 @@ def main() -> int:
     ap.set_defaults(quantize=True)
     ap.add_argument("--steps-per-call", type=int, default=7,
                     help="decode tokens per device dispatch (tick size)")
+    ap.add_argument("--first-lookahead", type=int, default=None,
+                    help="progressive lookahead for the first chunk "
+                         "(single mode; trades bounded first-chunk error "
+                         "for ~85 ms TTFA per frame)")
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -206,7 +212,7 @@ def main() -> int:
 
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call)
     if args.mode == "single":
-        warm = run_single(rt, args.tokens)
+        warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {
             "metric": "warm_streaming_rtf",
             "value": round(warm["rtf"], 4),
