@@ -131,10 +131,12 @@ def test_cancellation_frees_slot(sched):
     sched.step()   # admit
     req.cancel()
     sched.step()   # notices cancel, frees slot
+    sched.drain_vocoder()
     kinds = []
     while True:
         try:
-            kind, _ = req.events.get_nowait()
+            # the done event rides the async vocode FIFO
+            kind, _ = req.events.get(timeout=10)
             kinds.append(kind)
             if kind == "done":
                 break

@@ -198,6 +198,12 @@ class Scheduler:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._wakeup = threading.Event()
+        # async vocode worker: the scheduler thread only PLANS windows (and
+        # advances emission bookkeeping); the worker runs the batched device
+        # decode + host fetch + chunk emission, so decode launches never
+        # block on vocoder round-trips. FIFO => per-stream chunk order holds.
+        self._vocode_q: "queue.Queue" = queue.Queue()
+        self._vocode_thread: Optional[threading.Thread] = None
         # 1-deep pipelined dispatch: (toks_d, tok_d, act_d, sparams,
         # launch_req_ids) of the in-flight decode call
         self._inflight = None
@@ -224,10 +230,26 @@ class Scheduler:
         if self._thread is not None:
             return
         self._stop.clear()
+        self._ensure_vocode_worker()
         self._thread = threading.Thread(
             target=self.run_forever, name="tts-scheduler", daemon=True
         )
         self._thread.start()
+
+    def _ensure_vocode_worker(self) -> None:
+        if self._vocode_thread is None or not self._vocode_thread.is_alive():
+            self._vocode_thread = threading.Thread(
+                target=self._vocode_worker, name="tts-vocoder", daemon=True
+            )
+            self._vocode_thread.start()
+
+    def drain_vocoder(self, timeout: float = 60.0) -> None:
+        """Block until all queued vocode/finish jobs have been emitted."""
+        deadline = time.perf_counter() + timeout
+        while not self._vocode_q.empty():
+            if time.perf_counter() > deadline:
+                raise TimeoutError("vocoder queue did not drain")
+            time.sleep(0.002)
 
     def stop(self) -> None:
         self._stop.set()
@@ -235,6 +257,10 @@ class Scheduler:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        if self._vocode_thread is not None:
+            self._vocode_q.put(None)
+            self._vocode_thread.join(timeout=30)
+            self._vocode_thread = None
 
     @property
     def n_active(self) -> int:
@@ -309,43 +335,80 @@ class Scheduler:
         self._active[slot] = False
 
     def _vocode_tick(self, finishing: List[int]) -> None:
-        """Batch every stream's pending vocoder window into ONE device call.
+        """Plan every stream's pending vocoder window and hand the batch to
+        the async vocode worker.
 
         Per-stream decode_frames calls cost a full dispatch round-trip each
         (~27 ms over the tunnel); at 8 streams that serialized into the
-        dominant cost of a tick. Stacking the windows recovers it. Per-row
-        valid-length masking keeps each stream's samples bit-identical to
-        its solo decode (test-enforced).
+        dominant cost of a tick. The windows are stacked into ONE device
+        call, executed (and its results fetched/emitted) on the worker
+        thread so this loop goes straight back to launching decode steps.
+        Emission bookkeeping (commit) happens HERE so the next tick plans
+        correctly. Per-row valid-length masking keeps each stream's samples
+        bit-identical to its solo decode (test-enforced).
         """
-        jobs = []   # (state, plan)
+        jobs = []   # (state, plan, layers)
         for slot, state in enumerate(self.slots):
             if state is None or state.req.cancelled:
                 continue
             plan = state.lookahead.plan(flush=slot in finishing)
             if plan is not None:
-                jobs.append((state, plan))
-        if not jobs:
-            return
-        t0 = time.perf_counter()
-        layers = [st.lookahead.window_layers(pl) for st, pl in jobs]
-        outs = self.vocoder.decode_frames_batch(
-            layers,
-            first_frames=[pl.w0 for _, pl in jobs],
-            noise_seeds=[st.lookahead.noise_seed for st, _ in jobs],
-        )
-        decode_ms = (time.perf_counter() - t0) * 1000.0
-        for (state, plan), audio in zip(jobs, outs):
-            state.lookahead.commit(plan)
-            state.metrics.decode_times_ms.append(decode_ms / len(jobs))
-            samples = audio[plan.lo : plan.hi]
-            if len(samples):
-                state._emit(samples)
+                layers = state.lookahead.window_layers(plan)
+                state.lookahead.commit(plan)
+                jobs.append((state, plan, layers))
+        if jobs:
+            self._vocode_q.put(("decode", jobs))
+
+    def _vocode_worker(self) -> None:
+        while True:
+            item = self._vocode_q.get()
+            if item is None:
+                return
+            kind, payload = item
+            try:
+                if kind == "decode":
+                    jobs = payload
+                    t0 = time.perf_counter()
+                    outs = self.vocoder.decode_frames_batch(
+                        [layers for _, _, layers in jobs],
+                        first_frames=[pl.w0 for _, pl, _ in jobs],
+                        noise_seeds=[
+                            st.lookahead.noise_seed for st, _, _ in jobs
+                        ],
+                    )
+                    decode_ms = (time.perf_counter() - t0) * 1000.0
+                    for (state, plan, _), audio in zip(jobs, outs):
+                        if state.req.cancelled:
+                            continue
+                        state.metrics.decode_times_ms.append(
+                            decode_ms / len(jobs)
+                        )
+                        samples = audio[plan.lo : plan.hi]
+                        if len(samples):
+                            state._emit(samples)
+                else:  # "finish" — emitted after the slot's last decode job
+                    payload.finish()
+            except Exception as e:  # noqa: BLE001 — fail the affected reqs
+                targets = (payload if kind == "finish" else
+                           [st for st, _, _ in payload])
+                if kind == "finish":
+                    payload.req.events.put(
+                        ("error", f"vocoder error: {e}")
+                    )
+                else:
+                    for st, _, _ in payload:
+                        st.req.events.put(
+                            ("error", f"vocoder error: {e}")
+                        )
 
     def _launch_ids(self):
         return [s.req.id if s is not None else None for s in self.slots]
 
     def step(self) -> bool:
         """One scheduler iteration; returns True if any work was done.
+
+        (Synchronous callers — tests — must call _ensure_vocode_worker or
+        start(); step() does it lazily.)
 
         Pipelined: while this step fetches and processes the in-flight
         decode call's tokens (host work + tunnel round-trip), the NEXT call
@@ -355,6 +418,7 @@ class Scheduler:
         sampling params); per-slot request ids guard against attributing a
         finished request's speculative tokens to a newly admitted one.
         """
+        self._ensure_vocode_worker()
         did = False
         prev = self._inflight
         self._inflight = None
@@ -383,7 +447,9 @@ class Scheduler:
             for slot in finishing:
                 state = self.slots[slot]
                 if state is not None:
-                    state.finish()
+                    # the done event must follow the slot's flush chunks:
+                    # it rides the same FIFO as the decode jobs
+                    self._vocode_q.put(("finish", state))
                 self._release(slot)
             did = True
 
