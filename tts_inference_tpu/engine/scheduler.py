@@ -202,7 +202,9 @@ class Scheduler:
         # advances emission bookkeeping); the worker runs the batched device
         # decode + host fetch + chunk emission, so decode launches never
         # block on vocoder round-trips. FIFO => per-stream chunk order holds.
-        self._vocode_q: "queue.Queue" = queue.Queue()
+        # maxsize=2 bounds chunk bunching (unbounded queueing let chunks
+        # arrive in bursts: worst inter-chunk gap doubled).
+        self._vocode_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._vocode_thread: Optional[threading.Thread] = None
         # 1-deep pipelined dispatch: (toks_d, tok_d, act_d, sparams,
         # launch_req_ids) of the in-flight decode call
