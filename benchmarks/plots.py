@@ -15,7 +15,7 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-from benchmarks.metrics import STALL_GAP_MS, RunResult, calc_stats  # noqa: E402
+from benchmarks.metrics import STALL_GAP_MS, RunResult  # noqa: E402
 
 
 def _save(fig, out_dir: str, name: str) -> str:

@@ -24,7 +24,6 @@ continuous-batching scheduler (engine/scheduler.py).
 from __future__ import annotations
 
 import dataclasses
-import time
 from functools import partial
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 

@@ -29,7 +29,7 @@ import itertools
 import queue
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

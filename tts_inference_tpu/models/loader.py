@@ -14,7 +14,6 @@ is imported lazily.
 from __future__ import annotations
 
 import json
-import math
 import os
 import re
 from typing import Any, Dict, Mapping, Optional, Tuple

@@ -15,7 +15,7 @@ needed (SURVEY.md §5.8).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -34,7 +34,7 @@ import contextlib
 import dataclasses
 import json
 import time
-from typing import AsyncIterator, Optional, Tuple
+from typing import AsyncIterator, Tuple
 
 from aiohttp import WSMsgType, web
 

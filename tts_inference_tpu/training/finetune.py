@@ -21,7 +21,6 @@ import json
 import os
 import sys
 import time
-from typing import Optional
 
 import numpy as np
 
@@ -165,15 +164,13 @@ def _sample(cfg, base_params, trainable, tokenizer, args, scale) -> None:
 
 def cmd_merge(args) -> int:
     """Adapter + base → merged serving checkpoint (modal_merge_base.py)."""
-    import jax.numpy as jnp
-
     from tts_inference_tpu.training import lora as L
     from tts_inference_tpu.training.checkpoint import restore_params, save_params
 
     cfg, params, _ = _model_setup(args)
     adapter, meta = restore_params(os.path.join(args.adapter_dir, "adapter"))
     if meta.get("kind") == "full":
-        merged = jax.tree.map(jnp.asarray, adapter) if False else adapter
+        merged = adapter
     else:
         scale = L.lora_scale(meta.get("lora_r", args.lora_r),
                              meta.get("lora_alpha", args.lora_alpha))

@@ -10,8 +10,7 @@ adapter tree (the 4-bit-base + adapter analog without the quant dance).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
