@@ -30,7 +30,7 @@ BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 
 
 def build_runtime(smoke: bool, quantize: bool = False,
-                  steps_per_call: int = 7):
+                  steps_per_call: int = 7, slots: int = 8):
     from tts_inference_tpu.config import Config, EngineConfig, tiny_config
     from tts_inference_tpu.runtime import Runtime
 
@@ -40,7 +40,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
         engine=EngineConfig(
             max_input_len=128,
             max_output_len=2048,
-            max_batch_size=8,
+            max_batch_size=slots,
             prefill_buckets=(128,),
             decode_steps_per_call=steps_per_call,
         ),
@@ -199,6 +199,8 @@ def main() -> int:
     ap.set_defaults(quantize=True)
     ap.add_argument("--steps-per-call", type=int, default=7,
                     help="decode tokens per device dispatch (tick size)")
+    ap.add_argument("--slots", type=int, default=8,
+                    help="continuous-batching slots (cache size scales)")
     ap.add_argument("--first-lookahead", type=int, default=None,
                     help="progressive lookahead for the first chunk "
                          "(single mode; trades bounded first-chunk error "
@@ -210,7 +212,8 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    rt = build_runtime(args.smoke, args.quantize, args.steps_per_call)
+    rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
+                       args.slots)
     if args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {
