@@ -397,34 +397,40 @@ class GenerationEngine:
         max_new = sampling.max_tokens
         n_default = steps_per_yield or self.engine_cfg.decode_steps_per_call
 
-        # 1-deep pipelined dispatch: the next decode call is launched before
-        # this call's tokens are fetched, chaining tok/active device-to-
-        # device, so the host fetch (tunnel RTT) overlaps device compute.
-        # The first dispatch fuses prefill + the first decode steps (one
-        # fewer round-trip on the TTFA-critical path).
+        # Pipelined dispatch (depth 2): up to two decode calls stay in
+        # flight, chaining tok/active device-to-device, so the device never
+        # idles during the host's fetch/dispatch round-trips. The first
+        # dispatch fuses prefill + the first decode steps (one fewer
+        # round-trip on the TTFA-critical path).
+        import collections
+
         n_first = max(0, min(n_default - 1, max_new - 1))
-        pending = core.prefill_decode_launch(
+        pending = collections.deque()
+        pending.append(core.prefill_decode_launch(
             [list(prompt_ids)], [0], sp,
             np.zeros(core.batch, np.int32), np.zeros(core.batch, bool),
             n=max(n_first, 1),
-        )
+        ))
         produced = 0
-        while pending is not None:
-            toks_d, tok_d, act_d = pending
-            n_cols = toks_d.shape[1]
-            budget = max_new - produced - n_cols
-            n_next = min(n_default, budget)
-            pending = (
-                core.decode_steps_launch(sp, tok_d, act_d, n_next)
-                if n_next > 0 else None
-            )
-            row = np.asarray(toks_d)[0].tolist()   # sync overlaps next call
+        scheduled = pending[0][0].shape[1]
+        while pending:
+            while len(pending) < 2 and scheduled < max_new:
+                _, tok_d, act_d = pending[-1]
+                n_next = min(n_default, max_new - scheduled)
+                pending.append(
+                    core.decode_steps_launch(sp, tok_d, act_d, n_next)
+                )
+                scheduled += n_next
+            toks_d, _, _ = pending.popleft()
+            row = np.asarray(toks_d)[0].tolist()  # sync overlaps in-flight
             row = row[: max_new - produced]
             if self.eos_id in row:
                 row = row[: row.index(self.eos_id) + 1]
-                pending = None
+                pending.clear()
             produced += len(row)
             yield [int(x) for x in row]
+            if produced >= max_new:
+                pending.clear()
 
     def generate(
         self,

@@ -206,9 +206,15 @@ class Scheduler:
         # arrive in bursts: worst inter-chunk gap doubled).
         self._vocode_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._vocode_thread: Optional[threading.Thread] = None
-        # 1-deep pipelined dispatch: (toks_d, tok_d, act_d, sparams,
-        # launch_req_ids) of the in-flight decode call
-        self._inflight = None
+        # pipelined dispatch: deque of up to `pipeline_depth` in-flight
+        # decode launches, each (toks_d, tok_d, act_d, sparams,
+        # launch_req_ids). Depth 2 keeps a call queued behind the running
+        # one so the device never idles during the host's dispatch
+        # round-trip (device-side EOS freezing makes speculation safe).
+        import collections
+
+        self.pipeline_depth = 2
+        self._inflight = collections.deque()
         # watchdog (SURVEY.md §5.3 — the reference's engine-core "dies
         # unexpectedly mid-generation, connections hang" lesson): if the
         # loop makes no progress for `watchdog_s`, all live requests are
@@ -422,15 +428,20 @@ class Scheduler:
         """
         self._ensure_vocode_worker()
         did = False
-        prev = self._inflight
-        self._inflight = None
+        # speculative top-up: keep the launch queue full while no admissions
+        # wait (each launch chains device handles from the newest one)
+        while (self._inflight and self.pending.empty()
+               and self._active.any()
+               and len(self._inflight) < self.pipeline_depth):
+            _, tok_d, act_d, sp_used, _ = self._inflight[-1]
+            nxt = self.core.decode_steps_launch(sp_used, tok_d, act_d)
+            self._inflight.append(
+                (nxt[0], nxt[1], nxt[2], sp_used, self._launch_ids())
+            )
+        prev = self._inflight.popleft() if self._inflight else None
         if prev is not None:
             toks_d, tok_d, act_d, sp_used, launch_ids = prev
-            if self.pending.empty() and self._active.any():
-                nxt = self.core.decode_steps_launch(sp_used, tok_d, act_d)
-                self._inflight = (nxt[0], nxt[1], nxt[2], sp_used,
-                                  self._launch_ids())
-            toks = np.asarray(toks_d)        # overlaps the launched call
+            toks = np.asarray(toks_d)        # overlaps the in-flight calls
             active = np.asarray(act_d)
             self._last_tok = np.array(tok_d)
             finishing = []
@@ -455,7 +466,7 @@ class Scheduler:
                 self._release(slot)
             did = True
 
-        if self._inflight is None:
+        if not self._inflight:
             before = self.n_active
             self._admit()
             did = did or self.n_active != before
@@ -464,8 +475,9 @@ class Scheduler:
                 nxt = self.core.decode_steps_launch(
                     sp, self._last_tok, self._active
                 )
-                self._inflight = (nxt[0], nxt[1], nxt[2], sp,
-                                  self._launch_ids())
+                self._inflight.append(
+                    (nxt[0], nxt[1], nxt[2], sp, self._launch_ids())
+                )
                 did = True
         return did
 
@@ -482,7 +494,7 @@ class Scheduler:
                 req.events.put(("error", message))
             except queue.Empty:
                 break
-        self._inflight = None
+        self._inflight.clear()
 
     def run_forever(self) -> None:
         while not self._stop.is_set():
