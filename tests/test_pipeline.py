@@ -109,3 +109,17 @@ def test_last_sos_restart_drops_buffered_segment(rt):
     assert ex.restart_count == 0 and len(ex.codes) == 7
     ex.feed(P2.TOKEN_SOS)
     assert ex.restart_count == 1 and len(ex.codes) == 0
+
+
+def test_quantized_runtime_synthesizes():
+    """int8 weight-only runtime runs the full pipeline end-to-end."""
+    from tts_inference_tpu.config import SamplingConfig, tiny_config
+    from tts_inference_tpu.runtime import Runtime
+
+    rt = Runtime.create(tiny_config(), seed=0, quantize=True)
+    pcm, m = rt.pipeline.synthesize(
+        "int8 check", "tara",
+        SamplingConfig(max_tokens=21, seed=6, token_range=AUDIO_RANGE),
+        force_speech=True,
+    )
+    assert m.tokens == 21 and len(pcm) == 3 * P.SAMPLES_PER_FRAME * 2
