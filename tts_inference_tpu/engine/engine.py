@@ -16,6 +16,9 @@ The TPU-native replacement for the reference's L1 token engines (vLLM
   (emit EOS, stop advancing their cache length).
 - **Donated buffers** — cache and sampling state are donated to each call so
   XLA updates them in place (no HBM churn).
+- **2-deep pipelined dispatch** — up to two calls stay in flight with
+  device-chained token/active handles; the device never idles during host
+  round-trips.
 
 The same jitted core drives both the single-stream engine here and the
 continuous-batching scheduler (engine/scheduler.py).

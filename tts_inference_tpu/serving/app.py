@@ -22,8 +22,9 @@ Concurrency: generation runs in a worker thread (the device loop is
 blocking); an asyncio lock serializes access to the single engine slot and
 busy requests get the reference's 503/`{"error": "Generation in progress"}`
 behavior — but checked atomically inside the event loop, fixing the
-reference's check-then-acquire race (SURVEY.md §5.2). Multi-slot serving
-arrives with the continuous-batching scheduler.
+reference's check-then-acquire race (SURVEY.md §5.2). With a Scheduler
+attached (serve --multi-stream) requests queue into continuous-batching
+slots instead and the lock disappears.
 """
 
 from __future__ import annotations
