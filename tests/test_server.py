@@ -292,3 +292,84 @@ def test_multistream_concurrent_ws(rt):
         loop.run_until_complete(c.close())
         loop.close()
         sched.stop()
+
+
+def test_disconnect_mid_stream_then_recover(rt):
+    """Abruptly closing the socket mid-stream must not wedge the server:
+    the next request completes normally (single-stream mode)."""
+    loop = asyncio.new_event_loop()
+    c = TestClient(TestServer(create_app(rt)), loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        async def go():
+            ws = await c.ws_connect("/ws/tts")
+            await ws.send_json({**REQ, "max_tokens": 140})
+            # read a single frame then vanish
+            await ws.receive(timeout=180)
+            await ws.close()
+
+            # server must accept and serve a fresh request afterwards
+            ws2 = await c.ws_connect("/ws/tts")
+            await ws2.send_json({**REQ, "max_tokens": 35})
+            got = 0
+            while True:
+                msg = await ws2.receive(timeout=180)
+                if msg.type == WSMsgType.BINARY:
+                    got += len(msg.data)
+                else:
+                    data = json.loads(msg.data)
+                    if data.get("error"):
+                        # single-stream mode may briefly report busy while
+                        # the abandoned generation drains — retry once
+                        await asyncio.sleep(3)
+                        await ws2.send_json({**REQ, "max_tokens": 35})
+                        continue
+                    if data.get("done"):
+                        break
+            await ws2.close()
+            return got
+
+        got = loop.run_until_complete(go())
+        assert got == 5 * P.SAMPLES_PER_FRAME * 2
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
+
+
+def test_disconnect_mid_stream_scheduler_mode(rt):
+    from tts_inference_tpu.engine.scheduler import Scheduler
+
+    sched = Scheduler(rt.engine.core.params, rt.config, rt.vocoder,
+                      rt.tokenizer)
+    sched.start()
+    loop = asyncio.new_event_loop()
+    c = TestClient(TestServer(create_app(rt, scheduler=sched)), loop=loop)
+    loop.run_until_complete(c.start_server())
+    try:
+        async def go():
+            ws = await c.ws_connect("/ws/tts")
+            await ws.send_json({**REQ, "max_tokens": 700, "seed": 31})
+            await ws.receive(timeout=300)
+            await ws.close()   # cancellation should free the slot
+
+            ws2 = await c.ws_connect("/ws/tts")
+            await ws2.send_json({**REQ, "max_tokens": 35, "seed": 32})
+            got = 0
+            while True:
+                msg = await ws2.receive(timeout=300)
+                if msg.type == WSMsgType.BINARY:
+                    got += len(msg.data)
+                else:
+                    data = json.loads(msg.data)
+                    assert "error" not in data, data
+                    if data.get("done"):
+                        break
+            await ws2.close()
+            return got
+
+        got = loop.run_until_complete(go())
+        assert got == 5 * P.SAMPLES_PER_FRAME * 2
+    finally:
+        loop.run_until_complete(c.close())
+        loop.close()
+        sched.stop()
