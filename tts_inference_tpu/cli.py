@@ -150,6 +150,10 @@ def cmd_serve(args) -> int:
             rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
             seed=args.seed,
         )
+        if not args.no_warmup:
+            print("warming scheduler graphs (first boot compiles; cached "
+                  "afterwards)…", flush=True)
+            print(scheduler.warmup(), flush=True)
     run_app(rt, host=args.host, port=args.port, scheduler=scheduler)
     return 0
 

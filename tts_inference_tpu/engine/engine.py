@@ -339,6 +339,44 @@ class EngineCore:
         toks, tok, act = self.decode_steps_launch(sparams, last_tok, active, n)
         return np.asarray(toks), np.asarray(tok), np.asarray(act)
 
+    def warmup_graphs(self, timer: Optional["PhaseTimer"] = None) -> dict:
+        """Compile prefill (all buckets), fused prefill+decode, and decode
+        at every KV window bucket this engine can reach."""
+        from tts_inference_tpu.utils.timing import PhaseTimer as _PT
+
+        t = timer or _PT()
+        sp = S.SamplingParams.from_config(SamplingConfig(greedy=True),
+                                          self.batch)
+        n = self.engine_cfg.decode_steps_per_call
+        zeros_tok = np.zeros(self.batch, np.int32)
+        zeros_act = np.zeros(self.batch, bool)
+        for b in self.engine_cfg.prefill_buckets:
+            probe = [1] * b  # length b lands exactly in bucket b
+            with t.phase(f"compile_prefill_{b}"):
+                self.prefill_slots([probe], [0], sp)
+            with t.phase(f"compile_prefill_decode_{b}"):
+                toks, tok, act = self.prefill_decode_launch(
+                    [probe], [0], sp, zeros_tok, zeros_act, n=max(n - 1, 1)
+                )
+                np.asarray(toks)
+        windows = sorted({self.kv_bucket(w) for w in
+                          list(self.engine_cfg.kv_buckets) + [self.max_seq]
+                          if w <= self.max_seq} | {self.kv_bucket(1)})
+        for w in windows:
+            with t.phase(f"compile_decode_w{w}"):
+                saved = self._len_bounds.copy()
+                self._len_bounds[:] = max(w - n - 1, 1)
+                try:
+                    toks, tok, act = self.decode_steps_launch(
+                        sp, zeros_tok, zeros_act, n
+                    )
+                    np.asarray(toks)
+                finally:
+                    self._len_bounds[:] = saved
+        self.reset_slots(list(range(self.batch)))
+        return {"warmed_windows": windows,
+                "warmed_buckets": list(self.engine_cfg.prefill_buckets)}
+
 
 class GenerationEngine:
     """Single-stream host API over EngineCore (slot 0).
@@ -364,20 +402,15 @@ class GenerationEngine:
         self.eos_id = eos_id
 
     def warmup(self, prompt_len: int = 16) -> dict:
-        """Compile prefill (each bucket) + decode — the 'engine build' step
-        (reference: build_engine.py; SURVEY.md §7.1 step 4). Returns timing
-        metadata in the spirit of build_info.json."""
+        """Compile every graph shape serving can hit — the 'engine build'
+        step (reference: build_engine.py; SURVEY.md §7.1 step 4). A shape
+        compiled mid-serving blocks chunk flow for minutes over the
+        remote-compile tunnel, so warmup covers prefill buckets, the fused
+        prefill+decode, and decode at every KV window bucket. All results
+        land in the persistent XLA cache (one-time cost per config)."""
         t = PhaseTimer()
-        sp = S.SamplingParams.from_config(SamplingConfig(greedy=True), 1)
-        for b in self.engine_cfg.prefill_buckets:
-            with t.phase(f"compile_prefill_{b}"):
-                self.core.prefill_slots([[1] * min(b, prompt_len + b)], [0], sp)
-        with t.phase("compile_decode"):
-            self.core.decode_steps(
-                sp, np.zeros(1, np.int32), np.ones(1, bool)
-            )
-        self.core.reset_slots([0])
-        return t.as_dict()
+        info = self.core.warmup_graphs(t)
+        return {**info, **t.as_dict()}
 
     def stream(
         self,
@@ -419,11 +452,12 @@ class GenerationEngine:
         while pending:
             while len(pending) < 2 and scheduled < max_new:
                 _, tok_d, act_d = pending[-1]
-                n_next = min(n_default, max_new - scheduled)
+                # always launch the full n_default: a distinct n is a whole
+                # new compiled graph; overshoot rows are truncated below
                 pending.append(
-                    core.decode_steps_launch(sp, tok_d, act_d, n_next)
+                    core.decode_steps_launch(sp, tok_d, act_d, n_default)
                 )
-                scheduled += n_next
+                scheduled += n_default
             toks_d, _, _ = pending.popleft()
             row = np.asarray(toks_d)[0].tolist()  # sync overlaps in-flight
             row = row[: max_new - produced]

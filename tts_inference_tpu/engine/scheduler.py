@@ -234,6 +234,11 @@ class Scheduler:
         self.submit(req)
         return req.iter_chunks(timeout=self.config.server.request_timeout_s)
 
+    def warmup(self) -> dict:
+        """Compile every decode/prefill graph shape this scheduler can hit
+        (see EngineCore.warmup_graphs) — run once before serving traffic."""
+        return self.core.warmup_graphs()
+
     def start(self) -> None:
         if self._thread is not None:
             return

@@ -339,7 +339,9 @@ class Server:
 
     async def ws_tts(self, request: web.Request) -> web.WebSocketResponse:
         """Production protocol: binary PCM chunks + done JSON."""
-        ws = web.WebSocketResponse(heartbeat=30)
+        ws = web.WebSocketResponse()  # no heartbeat: a first-boot
+        # graph compile can stall chunk flow for minutes and the 30s ping
+        # watchdog would abort every socket; clients keep their own pings
         await ws.prepare(request)
         try:
             async for msg in ws:
@@ -386,7 +388,9 @@ class Server:
 
     async def ws_audio(self, request: web.Request) -> web.WebSocketResponse:
         """Legacy base64-JSON protocol (modal_audio_stream.py:448-498)."""
-        ws = web.WebSocketResponse(heartbeat=30)
+        ws = web.WebSocketResponse()  # no heartbeat: a first-boot
+        # graph compile can stall chunk flow for minutes and the 30s ping
+        # watchdog would abort every socket; clients keep their own pings
         await ws.prepare(request)
         try:
             async for msg in ws:
@@ -430,7 +434,9 @@ class Server:
     async def ws_tokens(self, request: web.Request) -> web.WebSocketResponse:
         """Token-debug stream (modal_audio_stream.py:675-722): raw token ids
         as JSON messages, then EOS summary."""
-        ws = web.WebSocketResponse(heartbeat=30)
+        ws = web.WebSocketResponse()  # no heartbeat: a first-boot
+        # graph compile can stall chunk flow for minutes and the 30s ping
+        # watchdog would abort every socket; clients keep their own pings
         await ws.prepare(request)
         try:
             async for msg in ws:
