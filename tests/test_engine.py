@@ -136,7 +136,8 @@ def test_multi_slot_core_isolation(params):
 def test_warmup_compiles(params):
     eng = mkengine(params)
     info = eng.warmup()
-    assert "compile_decode" in info
+    assert any(k.startswith("compile_decode_w") for k in info)
+    assert any(k.startswith("compile_prefill_decode_") for k in info)
     # post-warmup generation still correct
     res = eng.generate([2, 4, 6], SamplingConfig(greedy=True, max_tokens=5,
                                                  repetition_penalty=1.0))
