@@ -31,6 +31,11 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only quantization (serving)")
+    p.add_argument("--max-input-len", type=int, default=None)
+    p.add_argument("--max-output-len", type=int, default=None)
+    p.add_argument("--max-batch-size", type=int, default=None)
+    p.add_argument("--prefill-buckets", default=None,
+                   help="comma-separated prompt buckets, e.g. 64,128")
 
 
 def _build_runtime(args):
@@ -41,14 +46,25 @@ def _build_runtime(args):
     from tts_inference_tpu.config import Config, tiny_config
     from tts_inference_tpu.runtime import Runtime
 
-    cfg = tiny_config() if args.tiny else Config()
-    if args.compile_cache:
-        import dataclasses
+    import dataclasses
 
+    cfg = tiny_config() if args.tiny else Config()
+    eng_over = {}
+    if args.compile_cache:
+        eng_over["compilation_cache_dir"] = args.compile_cache
+    if args.max_input_len:
+        eng_over["max_input_len"] = args.max_input_len
+    if args.max_output_len:
+        eng_over["max_output_len"] = args.max_output_len
+    if args.max_batch_size:
+        eng_over["max_batch_size"] = args.max_batch_size
+    if args.prefill_buckets:
+        eng_over["prefill_buckets"] = tuple(
+            int(x) for x in args.prefill_buckets.split(",")
+        )
+    if eng_over:
         cfg = dataclasses.replace(
-            cfg, engine=dataclasses.replace(
-                cfg.engine, compilation_cache_dir=args.compile_cache
-            )
+            cfg, engine=dataclasses.replace(cfg.engine, **eng_over)
         )
     return Runtime.create(
         cfg,
