@@ -123,3 +123,17 @@ def test_quantized_runtime_synthesizes():
         force_speech=True,
     )
     assert m.tokens == 21 and len(pcm) == 3 * P.SAMPLES_PER_FRAME * 2
+
+
+def test_cli_engine_geometry_flags(tmp_path):
+    from tts_inference_tpu.cli import main
+
+    out = tmp_path / "geo.wav"
+    rc = main([
+        "generate", "--tiny", "--cpu", "--no-warmup",
+        "--text", "geometry", "--output", str(out),
+        "--max-tokens", "14", "--force-speech", "--audio-only",
+        "--max-input-len", "32", "--max-output-len", "128",
+        "--prefill-buckets", "16,32", "--seed", "2",
+    ])
+    assert rc == 0 and out.exists()

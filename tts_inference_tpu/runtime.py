@@ -139,7 +139,10 @@ class Runtime:
                     np.zeros(4 * b, np.int32),
                 )
             timings["warmup_s"] = time.perf_counter() - t0
-            timings.update({k: v / 1000.0 for k, v in info.items()})
+            timings.update({
+                k: (v / 1000.0 if isinstance(v, (int, float)) else v)
+                for k, v in info.items()
+            })
 
         return cls(config, pipeline, engine, vocoder, tokenizer, timings)
 
