@@ -137,3 +137,19 @@ def test_cli_engine_geometry_flags(tmp_path):
         "--prefill-buckets", "16,32", "--seed", "2",
     ])
     assert rc == 0 and out.exists()
+
+
+def test_frame_protocol_end_to_end(rt):
+    """frame_protocol generates protocol-valid frames from random weights
+    with no clamping (structured decoding through the whole pipeline)."""
+    from tts_inference_tpu.config import SamplingConfig, StreamConfig
+
+    sampling = SamplingConfig(max_tokens=36, seed=9, frame_protocol=True)
+    pcm, m = rt.pipeline.synthesize(
+        "structured", "tara", sampling,
+        StreamConfig(frames_per_chunk=2, lookahead_frames=3),
+    )
+    # SOS is forced by the grammar itself (not by the prompt); EOS only at
+    # boundaries, so frames are always complete
+    assert m.frames >= 1
+    assert len(pcm) == m.frames * P.SAMPLES_PER_FRAME * 2

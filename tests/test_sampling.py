@@ -81,6 +81,7 @@ def test_sampling_respects_nucleus_statistically():
         repetition_penalty=jnp.array([1.0]),
         allowed_min=jnp.array([0], jnp.int32),
         allowed_max=jnp.array([0], jnp.int32),
+        frame_protocol=jnp.array([False]),
     )
     state = make_state(1, 8, seed=3)
     seen = set()
@@ -124,3 +125,38 @@ def test_sample_jits():
     t1, s1 = jitted(logits, params, state)
     t2, _ = S.sample(logits, params, state)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_frame_protocol_structured_decoding():
+    """With frame_protocol on, every sampled token obeys the frame grammar:
+    SOS first, then position-p codes in their own 4096-block, EOS only at
+    frame boundaries — no post-hoc clamping needed."""
+    from tts_inference_tpu import protocol as P
+    from tts_inference_tpu.config import SamplingConfig
+
+    vocab = P.TOKEN_AUDIO_BASE + P.AUDIO_VOCAB + 4
+    rng = np.random.default_rng(8)
+    params = S.SamplingParams.from_config(
+        SamplingConfig(frame_protocol=True, temperature=1.0,
+                       repetition_penalty=1.0),
+        1,
+    )
+    state = S.init_sampling_state(1, vocab, seed=4)
+    toks = []
+    for _ in range(30):
+        logits = jnp.asarray(rng.normal(size=(1, vocab)), jnp.float32)
+        tok, state = S.sample(logits, params, state)
+        toks.append(int(tok[0]))
+    assert toks[0] == P.TOKEN_SOS
+    pos = 0
+    for t in toks[1:]:
+        if t == P.TOKEN_EOS:
+            assert pos == 0  # frame boundary only
+            break
+        lo = P.TOKEN_AUDIO_BASE + pos * P.CODEBOOK_SIZE
+        assert lo <= t < lo + P.CODEBOOK_SIZE, (t, pos)
+        pos = (pos + 1) % P.FRAME_SIZE
+    # codes always pass offset validation without clamping
+    codes = P.extract_audio_codes(toks)
+    n = len(codes) // P.FRAME_SIZE * P.FRAME_SIZE
+    assert P.validate_frame_offsets(codes[:n]) == []

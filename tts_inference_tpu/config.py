@@ -151,6 +151,12 @@ class SamplingConfig:
     # Constrain sampling to token ids in [lo, hi) — audio-tokens-only mode
     # guarantees valid SNAC codes (structured decoding; None = off).
     token_range: Optional[Tuple[int, int]] = None
+    # Frame-aligned structured decoding: position p of each 7-token frame
+    # only admits codes in its own 4096-block, EOS only at frame boundaries,
+    # and only SOS before speech starts — generated frames are ALWAYS
+    # protocol-valid (the reference instead detects and clamps invalid
+    # codes, hindi_canopy/inference.py:176-192).
+    frame_protocol: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

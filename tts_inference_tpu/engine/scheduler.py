@@ -194,6 +194,7 @@ class Scheduler:
             "repetition_penalty": np.full(b, 1.1, np.float32),
             "allowed_min": np.zeros(b, np.int32),
             "allowed_max": np.zeros(b, np.int32),
+            "frame_protocol": np.zeros(b, bool),
         }
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -291,6 +292,7 @@ class Scheduler:
             repetition_penalty=jnp.asarray(self._sp["repetition_penalty"]),
             allowed_min=jnp.asarray(self._sp["allowed_min"]),
             allowed_max=jnp.asarray(self._sp["allowed_max"]),
+            frame_protocol=jnp.asarray(self._sp["frame_protocol"]),
         )
 
     def _admit(self) -> None:
@@ -331,6 +333,7 @@ class Scheduler:
             lo, hi = sp.token_range or (0, 0)
             self._sp["allowed_min"][slot] = lo
             self._sp["allowed_max"][slot] = hi
+            self._sp["frame_protocol"][slot] = sp.frame_protocol
         self.core.seed_slots(slots_idx, seeds)
         first = self.core.prefill_slots(
             prompts, slots_idx, self._sampling_params()

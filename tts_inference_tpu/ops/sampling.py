@@ -20,6 +20,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from tts_inference_tpu import protocol
 from tts_inference_tpu.config import SamplingConfig
 
 NEG_INF = -1e30
@@ -31,10 +32,14 @@ class SamplingState(NamedTuple):
     presence: (B, V) bool — tokens seen in prompt+output (repetition penalty
     domain, matching the vLLM semantics the reference relies on).
     key: (B, 2) uint32 — per-slot PRNG key, split each step.
+    in_speech: (B,) bool — SOS seen (frame-protocol tracking).
+    frame_pos: (B,) int32 — position within the current 7-token frame.
     """
 
     presence: jnp.ndarray
     key: jnp.ndarray
+    in_speech: jnp.ndarray
+    frame_pos: jnp.ndarray
 
 
 class SamplingParams(NamedTuple):
@@ -53,6 +58,7 @@ class SamplingParams(NamedTuple):
     repetition_penalty: jnp.ndarray
     allowed_min: jnp.ndarray      # int32
     allowed_max: jnp.ndarray      # int32 exclusive; 0 = disabled
+    frame_protocol: jnp.ndarray   # bool — frame-aligned structured decoding
 
     @classmethod
     def from_config(cls, cfg: SamplingConfig, batch: int) -> "SamplingParams":
@@ -66,6 +72,7 @@ class SamplingParams(NamedTuple):
             repetition_penalty=full(cfg.repetition_penalty),
             allowed_min=full(lo, jnp.int32),
             allowed_max=full(hi, jnp.int32),
+            frame_protocol=full(cfg.frame_protocol, jnp.bool_),
         )
 
 
@@ -77,6 +84,8 @@ def init_sampling_state(
     return SamplingState(
         presence=jnp.zeros((batch, vocab), jnp.bool_),
         key=keys,
+        in_speech=jnp.zeros((batch,), jnp.bool_),
+        frame_pos=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -157,6 +166,27 @@ def sample(
         ids < params.allowed_max[:, None]
     )
     logits = jnp.where(rng_ok[:, None] & ~in_range, NEG_INF, logits)
+
+    # Frame-aligned structured decoding (the reference clamps invalid codes
+    # after the fact, modal_audio_stream.py:185-190; we make them
+    # unsampleable): in speech, position p only admits codes in
+    # [base+p·4096, base+(p+1)·4096), EOS only at a frame boundary; before
+    # SOS, only SOS is admitted.
+    structured = params.frame_protocol
+    if vocab > protocol.TOKEN_AUDIO_BASE:  # vocab actually covers the protocol
+        base = protocol.TOKEN_AUDIO_BASE
+        lo = base + state.frame_pos * protocol.CODEBOOK_SIZE
+        hi = lo + protocol.CODEBOOK_SIZE
+        frame_ok = (ids >= lo[:, None]) & (ids < hi[:, None])
+        at_boundary = state.frame_pos == 0
+        frame_ok = frame_ok | (
+            (ids == protocol.TOKEN_EOS) & at_boundary[:, None]
+        )
+        pre_speech_ok = ids == protocol.TOKEN_SOS
+        mask_ok = jnp.where(
+            state.in_speech[:, None], frame_ok, pre_speech_ok
+        )
+        logits = jnp.where(structured[:, None] & ~mask_ok, NEG_INF, logits)
     logits = apply_repetition_penalty(
         logits, state.presence, params.repetition_penalty
     )
@@ -192,5 +222,19 @@ def sample(
     greedy_tok = jnp.argmax(logits, axis=-1)
     tokens = jnp.where(greedy, greedy_tok, sampled).astype(jnp.int32)
 
-    new_state = mark_tokens(state._replace(key=next_key), tokens)
+    # frame-position tracking (advances regardless of the structured flag so
+    # it can be enabled mid-stream)
+    base = protocol.TOKEN_AUDIO_BASE
+    is_audio = (tokens >= base) & (tokens < base + protocol.AUDIO_VOCAB)
+    in_speech = state.in_speech | (tokens == protocol.TOKEN_SOS)
+    frame_pos = jnp.where(
+        is_audio & in_speech,
+        (state.frame_pos + 1) % protocol.FRAME_SIZE,
+        state.frame_pos,
+    )
+    new_state = mark_tokens(
+        state._replace(key=next_key, in_speech=in_speech,
+                       frame_pos=frame_pos),
+        tokens,
+    )
     return tokens, new_state

@@ -74,6 +74,9 @@ def parse_request(data: dict, defaults: SamplingConfig,
         ),
         seed=data.get("seed", defaults.seed),
         token_range=AUDIO_RANGE if data.get("audio_only") else defaults.token_range,
+        frame_protocol=bool(
+            data.get("frame_protocol", defaults.frame_protocol)
+        ),
     )
     stream_cfg = dataclasses.replace(
         stream_defaults,
