@@ -134,6 +134,12 @@ class EngineCore:
                 slot_mask[:, None], new_state.presence, sstate.presence
             ),
             key=jnp.where(slot_mask[:, None], new_state.key, sstate.key),
+            in_speech=jnp.where(
+                slot_mask, new_state.in_speech, sstate.in_speech
+            ),
+            frame_pos=jnp.where(
+                slot_mask, new_state.frame_pos, sstate.frame_pos
+            ),
         )
         return tok, cache, sstate
 
@@ -163,6 +169,12 @@ class EngineCore:
                 slot_mask[:, None], new_state.presence, sstate.presence
             ),
             key=jnp.where(slot_mask[:, None], new_state.key, sstate.key),
+            in_speech=jnp.where(
+                slot_mask, new_state.in_speech, sstate.in_speech
+            ),
+            frame_pos=jnp.where(
+                slot_mask, new_state.frame_pos, sstate.frame_pos
+            ),
         )
         tok0 = jnp.where(slot_mask, ptok, last_tok)
         active0 = jnp.where(slot_mask, ptok != eos_id, active)
@@ -221,7 +233,9 @@ class EngineCore:
             lengths=self.cache.lengths.at[idx].set(0)
         )
         self.sampling_state = self.sampling_state._replace(
-            presence=self.sampling_state.presence.at[idx].set(False)
+            presence=self.sampling_state.presence.at[idx].set(False),
+            in_speech=self.sampling_state.in_speech.at[idx].set(False),
+            frame_pos=self.sampling_state.frame_pos.at[idx].set(0),
         )
 
     def seed_slots(self, slots: Sequence[int], seeds: Sequence[int]) -> None:
