@@ -172,3 +172,31 @@ def test_fail_all_delivers_errors(rt):
         kind, payload = r.events.get_nowait()
         assert kind == "error" and "boom" in payload
     assert s2.n_active == 0 and s2.pending.empty()
+
+
+def test_mixed_sampling_configs_per_slot(rt, sched):
+    """Heterogeneous requests share one decode graph: greedy, sampled,
+    audio-only, and frame-protocol requests run concurrently and each obeys
+    its own contract."""
+    reqs = [
+        TTSRequest(text="greedy", sampling=SamplingConfig(
+            greedy=True, max_tokens=21, repetition_penalty=1.0,
+            token_range=AUDIO_RANGE, seed=1), stream_cfg=SCFG,
+            force_speech=True),
+        TTSRequest(text="sampled", sampling=mk_sampling(2, 28),
+                   stream_cfg=SCFG, force_speech=True),
+        TTSRequest(text="structured", sampling=SamplingConfig(
+            max_tokens=29, seed=3, frame_protocol=True), stream_cfg=SCFG),
+    ]
+    for r in reqs:
+        sched.submit(r)
+    run_until_idle(sched)
+    sched.drain_vocoder()
+    outs = [drain(r) for r in reqs]
+    # greedy + sampled obey audio_only token budget exactly
+    assert outs[0][1].tokens == 21 and outs[0][1].frames == 3
+    assert outs[1][1].tokens == 28 and outs[1][1].frames == 4
+    # structured: SOS consumed 1 token; remaining form complete valid frames
+    m = outs[2][1]
+    assert m.frames == (m.tokens - 1) // 7
+    assert len(outs[2][0]) == m.frames * P.SAMPLES_PER_FRAME * 2
