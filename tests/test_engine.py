@@ -142,3 +142,14 @@ def test_warmup_compiles(params):
     res = eng.generate([2, 4, 6], SamplingConfig(greedy=True, max_tokens=5,
                                                  repetition_penalty=1.0))
     assert len(res.token_ids) >= 1
+
+
+def test_int8_kv_cache_engine(params):
+    """Engine runs end to end with kv_cache_int8; token budget exact."""
+    ecfg_q = EngineConfig(
+        max_input_len=32, max_output_len=96, max_batch_size=2,
+        prefill_buckets=(8, 16, 32), kv_cache_int8=True,
+    )
+    eng = GenerationEngine(params, CFG, ecfg_q, eos_id=511, seed=1)
+    res = eng.generate([1, 2, 3], SamplingConfig(max_tokens=20, seed=4))
+    assert len(res.token_ids) == 20 or res.finished

@@ -213,3 +213,36 @@ def test_int8_quantized_forward_close(pair):
     assert top_match >= 0.8, top_match
     corr = np.corrcoef(got.reshape(-1), want.reshape(-1))[0, 1]
     assert corr > 0.99, corr
+
+
+def test_int8_kv_cache_close_to_fp(pair):
+    """int8 KV cache: prefill+decode logits stay close to the fp cache
+    (per-token-head scales), and generation runs end to end."""
+    model, params = pair
+    rng = np.random.default_rng(21)
+    toks = rng.integers(0, TINY.vocab_size, size=(2, 11)).astype(np.int32)
+    lens = jnp.asarray([11, 11], jnp.int32)
+
+    def run(int8):
+        cache = jllama.init_kv_cache(TINY, 2, 32,
+                                     dtype=jnp.float32, int8=int8)
+        last, cache = jllama.prefill(params, TINY, jnp.asarray(toks), lens,
+                                     cache)
+        outs = [np.asarray(last)]
+        tok = jnp.argmax(last, -1).astype(jnp.int32)
+        for _ in range(4):
+            logits, cache = jllama.decode_one(params, TINY, tok, cache)
+            outs.append(np.asarray(logits))
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        return outs
+
+    fp = run(False)
+    q8 = run(True)
+    for a, b in zip(fp, q8):
+        corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+        assert corr > 0.999, corr
+        # greedy choices should mostly agree on this tiny model
+    top_match = np.mean([
+        (a.argmax(-1) == b.argmax(-1)).mean() for a, b in zip(fp, q8)
+    ])
+    assert top_match >= 0.8, top_match

@@ -176,6 +176,10 @@ class EngineConfig:
     # bucket covering the longest live sequence (HBM-bound step; reading all
     # of max_seq for short sequences wastes bandwidth).
     kv_buckets: Tuple[int, ...] = (256, 512, 1024, 2048, 4096)
+    # int8 KV cache: halves cache memory (2x slot capacity) and attention
+    # read bandwidth; per-(slot, position, head) scales, dequant fused into
+    # the attention dots. Off by default (bit-identical serving).
+    kv_cache_int8: bool = False
     compilation_cache_dir: Optional[str] = None
 
     @property

@@ -75,7 +75,10 @@ class EngineCore:
         self.batch = batch_size or engine_cfg.max_batch_size
         self.max_seq = engine_cfg.max_seq_len
 
-        self.cache = llama.init_kv_cache(model_cfg, self.batch, self.max_seq)
+        self.cache = llama.init_kv_cache(
+            model_cfg, self.batch, self.max_seq,
+            int8=engine_cfg.kv_cache_int8,
+        )
         self.sampling_state = S.init_sampling_state(
             self.batch, model_cfg.vocab_size, seed
         )

@@ -138,27 +138,59 @@ class KVCache(NamedTuple):
     XLA update each layer's buffer in place through jit donation and scan
     carries. batch is the continuous-batching slot axis; kv_heads shardable
     over TP. lengths: (batch,) int32 — tokens currently valid per slot.
+
+    int8 mode (EngineConfig.kv_cache_int8): k/v are int8 with per-(slot,
+    position, head) fp32 scales in k_scale/v_scale — halves cache memory
+    (2× slot capacity) and attention-read bandwidth; dequant fuses into the
+    attention dots. Empty scale tuples mean full-precision mode.
     """
 
     k: tuple
     v: tuple
     lengths: jnp.ndarray
+    k_scale: tuple = ()
+    v_scale: tuple = ()
 
     @property
     def max_seq(self) -> int:
         return self.k[0].shape[1]
 
+    @property
+    def quantized(self) -> bool:
+        return len(self.k_scale) > 0
+
 
 def init_kv_cache(
-    cfg: ModelConfig, batch: int, max_seq: int, dtype=None
+    cfg: ModelConfig, batch: int, max_seq: int, dtype=None,
+    int8: bool = False,
 ) -> KVCache:
-    dt = dtype or param_dtype(cfg)
     shape = (batch, max_seq, cfg.num_key_value_heads, cfg.head_dim)
+    n = cfg.num_hidden_layers
+    if int8:
+        sshape = (batch, max_seq, cfg.num_key_value_heads)
+        return KVCache(
+            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+            lengths=jnp.zeros((batch,), jnp.int32),
+            k_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
+            v_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
+        )
+    dt = dtype or param_dtype(cfg)
     return KVCache(
-        k=tuple(jnp.zeros(shape, dt) for _ in range(cfg.num_hidden_layers)),
-        v=tuple(jnp.zeros(shape, dt) for _ in range(cfg.num_hidden_layers)),
+        k=tuple(jnp.zeros(shape, dt) for _ in range(n)),
+        v=tuple(jnp.zeros(shape, dt) for _ in range(n)),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """(B, S, H, D) → int8 values + (B, S, H) fp32 scales."""
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
 
 
 def _attention(
@@ -199,7 +231,9 @@ def _layer(
     mask: jnp.ndarray,           # (B, S, kv_window)
     write_mask: jnp.ndarray,     # (B,) bool — slots this call may mutate
     kv_window: Optional[int],    # static: attend only to cache[:, :window]
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    ks: Optional[jnp.ndarray] = None,   # (B, max_seq, Hkv) int8-mode scales
+    vs: Optional[jnp.ndarray] = None,
+):
     b, s, _ = x.shape
     hd, nq, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
     max_seq = cache_k.shape[1]
@@ -233,17 +267,29 @@ def _layer(
     else:
         def write(c, new):
             def one(cb, nb, p, wm):
-                upd = jax.lax.dynamic_update_slice(cb, nb, (p, 0, 0))
+                starts = (p,) + (0,) * (cb.ndim - 1)
+                upd = jax.lax.dynamic_update_slice(cb, nb, starts)
                 return jnp.where(wm, upd, cb)
             return jax.vmap(one)(c, new, write_pos, write_mask)
 
-    cache_k = write(cache_k, k.astype(cache_k.dtype))
-    cache_v = write(cache_v, v.astype(cache_v.dtype))
+    if ks is not None:
+        kq, k_sc = _quantize_kv(k)
+        vq, v_sc = _quantize_kv(v)
+        cache_k = write(cache_k, kq)
+        cache_v = write(cache_v, vq)
+        ks = write(ks, k_sc)
+        vs = write(vs, v_sc)
+    else:
+        cache_k = write(cache_k, k.astype(cache_k.dtype))
+        cache_v = write(cache_v, v.astype(cache_v.dtype))
 
-    ck = cache_k[:, :kv_window] if (kv_window is not None
-                                    and kv_window < max_seq) else cache_k
-    cv = cache_v[:, :kv_window] if (kv_window is not None
-                                    and kv_window < max_seq) else cache_v
+    win = (slice(None), slice(None, kv_window)) if (
+        kv_window is not None and kv_window < max_seq) else (slice(None),)
+    ck, cv = cache_k[win], cache_v[win]
+    if ks is not None:
+        dt = k.dtype
+        ck = (ck.astype(jnp.float32) * ks[win][..., None]).astype(dt)
+        cv = (cv.astype(jnp.float32) * vs[win][..., None]).astype(dt)
     if s == 1 and cfg.use_pallas_attention:
         from tts_inference_tpu.ops.pallas.decode_attention import (
             decode_attention,
@@ -259,7 +305,7 @@ def _layer(
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
     gate = jax.nn.silu(mm(h, lp["w_gate"]).astype(jnp.float32)).astype(h.dtype)
     x = x + mm(gate * mm(h, lp["w_up"]), lp["w_down"])
-    return x, cache_k, cache_v
+    return x, cache_k, cache_v, ks, vs
 
 
 def forward(
@@ -298,21 +344,28 @@ def forward(
     write_mask = seg_lens > 0
     x = embed_rows(params["embed"], tokens, param_dtype(cfg))
 
-    new_k, new_v = [], []
+    quantized = cache.quantized
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for li, lp in enumerate(params["layers"]):
-        x, ck, cv = _layer(
+        x, ck, cv, ks, vs = _layer(
             lp, cfg, x, cos, sin,
             cache.k[li], cache.v[li], write_pos, mask, write_mask,
             window if window < max_seq else None,
+            cache.k_scale[li] if quantized else None,
+            cache.v_scale[li] if quantized else None,
         )
         new_k.append(ck)
         new_v.append(cv)
+        if quantized:
+            new_ks.append(ks)
+            new_vs.append(vs)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
     new_cache = KVCache(
         k=tuple(new_k), v=tuple(new_v),
         lengths=jnp.maximum(cache.lengths, write_pos + seg_lens),
+        k_scale=tuple(new_ks), v_scale=tuple(new_vs),
     )
     return x, new_cache
 

@@ -73,16 +73,19 @@ def llama_param_pspecs(model_cfg: ModelConfig) -> Dict[str, Any]:
     return specs
 
 
-def kv_cache_pspecs(model_cfg: ModelConfig):
-    """KVCache(k, v, lengths): batch slots over dp, kv heads over tp."""
+def kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False):
+    """KVCache(k, v, lengths[, scales]): slots over dp, kv heads over tp."""
     from tts_inference_tpu.models.llama import KVCache
 
     spec = P("dp", None, "tp", None)
+    sspec = P("dp", None, "tp")
     n = model_cfg.num_hidden_layers
     return KVCache(
         k=tuple(spec for _ in range(n)),
         v=tuple(spec for _ in range(n)),
         lengths=P("dp"),
+        k_scale=tuple(sspec for _ in range(n)) if int8 else (),
+        v_scale=tuple(sspec for _ in range(n)) if int8 else (),
     )
 
 
