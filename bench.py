@@ -30,7 +30,8 @@ BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 
 
 def build_runtime(smoke: bool, quantize: bool = False,
-                  steps_per_call: int = 7, slots: int = 8):
+                  steps_per_call: int = 7, slots: int = 8,
+                  kv_int8: bool = False):
     from tts_inference_tpu.config import Config, EngineConfig, tiny_config
     from tts_inference_tpu.runtime import Runtime
 
@@ -43,6 +44,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             max_batch_size=slots,
             prefill_buckets=(128,),
             decode_steps_per_call=steps_per_call,
+            kv_cache_int8=kv_int8,
         ),
     )
     return Runtime.create(cfg, warmup=False, quantize=quantize)
@@ -201,6 +203,8 @@ def main() -> int:
                     help="decode tokens per device dispatch (tick size)")
     ap.add_argument("--slots", type=int, default=8,
                     help="continuous-batching slots (cache size scales)")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache (2x slot capacity)")
     ap.add_argument("--first-lookahead", type=int, default=None,
                     help="progressive lookahead for the first chunk "
                          "(single mode; trades bounded first-chunk error "
@@ -213,7 +217,7 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
-                       args.slots)
+                       args.slots, args.kv_int8)
     if args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {
