@@ -373,3 +373,40 @@ def test_disconnect_mid_stream_scheduler_mode(rt):
         loop.run_until_complete(c.close())
         loop.close()
         sched.stop()
+
+
+def test_parse_request_capacity_limits():
+    """Hard caps from reference spec.md:133-135 (2000 chars / 120 s audio)."""
+    from tts_inference_tpu.config import SamplingConfig, StreamConfig
+    from tts_inference_tpu.serving.app import AUDIO_RANGE, parse_request
+
+    defaults = SamplingConfig(max_tokens=10_000_000)
+    sdefaults = StreamConfig()
+
+    text, voice, sampling, stream_cfg, opts = parse_request(
+        {"text": "x" * (P.MAX_TEXT_CHARS + 500), "max_tokens": 10_000_000},
+        defaults, sdefaults,
+    )
+    assert len(text) == P.MAX_TEXT_CHARS
+    # 120 s of audio = 120*24000/2048 frames * 7 tokens/frame
+    cap = int(P.MAX_AUDIO_SECONDS * P.SAMPLE_RATE
+              / P.SAMPLES_PER_FRAME * P.FRAME_SIZE)
+    assert sampling.max_tokens == cap
+    assert voice == "tara" and not opts["benchmark"]
+
+    # under-cap request passes through untouched
+    _, _, s2, _, _ = parse_request({"text": "hi", "max_tokens": 70},
+                                   defaults, sdefaults)
+    assert s2.max_tokens == 70
+
+    # audio_only restricts the sampled-token range
+    _, _, s3, _, _ = parse_request({"text": "hi", "audio_only": True},
+                                   defaults, sdefaults)
+    assert s3.token_range == AUDIO_RANGE
+
+    # per-request stream overrides land in the StreamConfig
+    _, _, _, sc, _ = parse_request(
+        {"text": "hi", "frames_per_chunk": 9, "lookahead_frames": 2},
+        defaults, sdefaults,
+    )
+    assert sc.frames_per_chunk == 9 and sc.lookahead_frames == 2
