@@ -161,6 +161,18 @@ def test_threaded_run_loop(sched):
         sched.stop()
 
 
+def test_finished_at_admission_emits_done(sched):
+    """A request whose prefill-sampled token already finishes it
+    (max_tokens=1) must still get its done event — the round-1 bug left the
+    consumer hanging until request_timeout_s (ADVICE r1, high)."""
+    req = mk_req("one token only", seed=3, max_tokens=1)
+    sched.submit(req)
+    run_until_idle(sched)
+    sched.drain_vocoder()
+    pcm, metrics = drain(req, timeout=30)
+    assert metrics.tokens == 1
+
+
 def test_fail_all_delivers_errors(rt):
     s2 = Scheduler(rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer)
     r1, r2 = mk_req("a", 1), mk_req("b", 2)

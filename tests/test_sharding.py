@@ -154,6 +154,108 @@ def test_full_finetune_step_runs(mesh, params):
     assert np.isfinite(float(loss))
 
 
+def test_sharded_engine_core_matches_unsharded(mesh, params):
+    """The SERVING graphs (EngineCore: fused prefill+decode, windowed decode,
+    donation, on-device sampling) under TP×DP equal the unsharded core —
+    sharding the engine is a pure performance transform."""
+    from tts_inference_tpu.config import EngineConfig, SamplingConfig
+    from tts_inference_tpu.engine.engine import EngineCore
+    from tts_inference_tpu.ops import sampling as S
+
+    ecfg = EngineConfig(
+        max_batch_size=4, max_input_len=32, max_output_len=96,
+        prefill_buckets=(16, 32), kv_buckets=(32, 64),
+        decode_steps_per_call=4,
+    )
+    sp = S.SamplingParams.from_config(SamplingConfig(greedy=True), 4)
+    prompts = [[7, 8, 9, 10], [11, 12, 13]]
+
+    def run(m):
+        core = EngineCore(params, CFG, ecfg, eos_id=5, mesh=m)
+        core.seed_slots([0, 1], [1, 2])
+        toks0, tok, act = core.prefill_decode_launch(
+            prompts, [0, 1], sp,
+            np.zeros(4, np.int32), np.zeros(4, bool), n=3,
+        )
+        toks1, _, _ = core.decode_steps(sp, tok, act)
+        return np.concatenate([np.asarray(toks0), toks1], axis=1)
+
+    np.testing.assert_array_equal(run(mesh), run(None))
+
+
+def test_sharded_quantized_engine_matches(mesh, params):
+    """int8 weight-only quantization composes with TP/DP sharding
+    (adapt_pspecs expands the dense specs over QuantLinear/QuantEmbed)."""
+    from tts_inference_tpu.config import EngineConfig, SamplingConfig
+    from tts_inference_tpu.engine.engine import EngineCore
+    from tts_inference_tpu.models.quant import quantize_llama_params
+    from tts_inference_tpu.ops import sampling as S
+
+    qparams = quantize_llama_params(params)
+    ecfg = EngineConfig(
+        max_batch_size=4, max_input_len=16, max_output_len=48,
+        prefill_buckets=(16,), kv_buckets=(32,), decode_steps_per_call=3,
+    )
+    sp = S.SamplingParams.from_config(SamplingConfig(greedy=True), 4)
+
+    def run(m):
+        core = EngineCore(qparams, CFG, ecfg, eos_id=5, mesh=m)
+        first = core.prefill_slots([[7, 8, 9]], [0], sp)
+        toks, _, _ = core.decode_steps(
+            sp, first, np.array([True, False, False, False])
+        )
+        return np.concatenate([first[:1, None], toks[:1]], axis=1)
+
+    np.testing.assert_array_equal(run(mesh), run(None))
+
+
+def test_sharded_scheduler_stream_matches_unsharded(mesh):
+    """Continuous-batching Scheduler emits IDENTICAL audio streams with and
+    without a mesh (VERDICT r1 item 2: tp>1 serving must be output-invisible)."""
+    from tests.test_scheduler import drain, mk_req, run_until_idle
+    from tts_inference_tpu.config import MeshConfig
+    from tts_inference_tpu.engine.scheduler import Scheduler
+    from tts_inference_tpu.runtime import create_tiny_runtime
+
+    rt = create_tiny_runtime(seed=0)
+
+    def run(m):
+        s = Scheduler(
+            rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
+            mesh=m,
+        )
+        reqs = [mk_req(f"stream {i}", seed=100 + i) for i in range(3)]
+        for r in reqs:
+            s.submit(r)
+        run_until_idle(s)
+        s.drain_vocoder()
+        out = [drain(r) for r in reqs]
+        s.stop()
+        return out
+
+    # tiny model: 4 heads / 2 kv heads → tp=2; dp=2 over the 4 slots
+    tiny_mesh = M.make_mesh(MeshConfig(dp=2, tp=2))
+    sharded = run(tiny_mesh)
+    unsharded = run(None)
+    for (pcm_a, m_a), (pcm_b, m_b) in zip(sharded, unsharded):
+        assert m_a.tokens == m_b.tokens
+        assert pcm_a == pcm_b
+
+
+def test_sampling_state_pspecs_match_structure(mesh):
+    """The pspec trees place onto the mesh without structure errors (the
+    round-1 bug: sampling_state_pspecs didn't match SamplingState fields)."""
+    from tts_inference_tpu.config import SamplingConfig
+    from tts_inference_tpu.ops import sampling as S
+
+    sstate = S.init_sampling_state(4, 512, seed=0)
+    placed = M.shard_tree(sstate, M.sampling_state_pspecs(), mesh)
+    assert placed.presence.shape == sstate.presence.shape
+    sp = S.SamplingParams.from_config(SamplingConfig(), 4)
+    placed_sp = M.shard_tree(sp, M.sampling_params_pspecs(), mesh)
+    assert placed_sp.temperature.shape == sp.temperature.shape
+
+
 def test_lora_merge_matches_functional(params):
     """merged weights == base + scale·A@B applied at the weight level —
     and zero-B adapters are a no-op (fresh init must not change the model)."""

@@ -36,19 +36,38 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-batch-size", type=int, default=None)
     p.add_argument("--prefill-buckets", default=None,
                    help="comma-separated prompt buckets, e.g. 64,128")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree (mesh tp axis over ICI)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel degree (request slots over replicas)")
+    p.add_argument("--virtual-devices", type=int, default=None,
+                   help="force N virtual CPU devices (test multi-chip "
+                        "sharding without hardware; implies --cpu)")
 
 
 def _build_runtime(args):
+    if getattr(args, "virtual_devices", None):
+        # must land before jax initializes its backends
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual_devices}"
+        )
+        args.cpu = True
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    from tts_inference_tpu.config import Config, tiny_config
+    from tts_inference_tpu.config import Config, MeshConfig, tiny_config
     from tts_inference_tpu.runtime import Runtime
 
     import dataclasses
 
     cfg = tiny_config() if args.tiny else Config()
+    tp, dp = getattr(args, "tp", 1), getattr(args, "dp", 1)
+    if tp * dp > 1:
+        cfg = dataclasses.replace(cfg, mesh=MeshConfig(dp=dp, tp=tp))
     eng_over = {}
     if args.compile_cache:
         eng_over["compilation_cache_dir"] = args.compile_cache
@@ -164,7 +183,7 @@ def cmd_serve(args) -> int:
 
         scheduler = Scheduler(
             rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
-            seed=args.seed,
+            seed=args.seed, mesh=rt.mesh,
         )
         if not args.no_warmup:
             print("warming scheduler graphs (first boot compiles; cached "

@@ -67,6 +67,7 @@ class EngineCore:
         batch_size: Optional[int] = None,
         eos_id: int = protocol.TOKEN_EOS,
         seed: int = 0,
+        mesh=None,
     ):
         self.params = params
         self.model_cfg = model_cfg
@@ -74,6 +75,7 @@ class EngineCore:
         self.eos_id = eos_id
         self.batch = batch_size or engine_cfg.max_batch_size
         self.max_seq = engine_cfg.max_seq_len
+        self.mesh = mesh
 
         self.cache = llama.init_kv_cache(
             model_cfg, self.batch, self.max_seq,
@@ -87,6 +89,57 @@ class EngineCore:
         # reading all of max_seq for short sequences wastes bandwidth)
         self._len_bounds = np.zeros(self.batch, np.int64)
 
+        # --- sharded serving (SURVEY.md §2.3/§5.8: TP over ICI + DP over
+        # request slots — the reference only ever passes tensor_parallel_size
+        # to third-party engines, `modal_audio_stream.py:226`) --------------
+        # With a mesh, params/KV/sampling state are placed with Megatron-
+        # style PartitionSpecs and the jitted graphs get explicit in/out
+        # shardings so donation keeps working (an out-sharding that drifted
+        # from the donated input's would silently disable buffer reuse).
+        prefill_kw: dict = {}
+        decode_kw: dict = {}
+        pd_kw: dict = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from tts_inference_tpu.parallel import mesh as M
+
+            M.validate_tp(model_cfg, mesh.shape["tp"])
+            if self.batch % mesh.shape["dp"]:
+                raise ValueError(
+                    f"batch {self.batch} not divisible by dp={mesh.shape['dp']}"
+                )
+            psh = M.shardings(
+                M.adapt_pspecs(M.llama_param_pspecs(model_cfg), params), mesh
+            )
+            cache_sh = M.shardings(
+                M.kv_cache_pspecs(model_cfg, int8=engine_cfg.kv_cache_int8),
+                mesh,
+            )
+            sstate_sh = M.shardings(M.sampling_state_pspecs(), mesh)
+            sparams_sh = M.shardings(M.sampling_params_pspecs(), mesh)
+            dp = NamedSharding(mesh, P("dp"))
+            dp2 = NamedSharding(mesh, P("dp", None))
+            self.params = jax.device_put(params, psh)
+            self.cache = jax.device_put(self.cache, cache_sh)
+            self.sampling_state = jax.device_put(
+                self.sampling_state, sstate_sh
+            )
+            prefill_kw = dict(
+                in_shardings=(psh, dp2, dp, cache_sh, sstate_sh, sparams_sh,
+                              dp),
+                out_shardings=(dp, cache_sh, sstate_sh),
+            )
+            decode_kw = dict(
+                in_shardings=(psh, cache_sh, sstate_sh, sparams_sh, dp, dp),
+                out_shardings=(dp2, dp, dp, cache_sh, sstate_sh),
+            )
+            pd_kw = dict(
+                in_shardings=(psh, dp2, dp, cache_sh, sstate_sh, sparams_sh,
+                              dp, dp, dp),
+                out_shardings=(dp2, dp, dp, cache_sh, sstate_sh),
+            )
+
         # --- jitted graphs -------------------------------------------------
         # after partial-binding model_cfg (and eos_id), arg order is:
         #   prefill: (kv_window, params, tokens, lens, cache, sstate,
@@ -97,11 +150,13 @@ class EngineCore:
             partial(self._prefill_impl, model_cfg),
             static_argnums=(0,),
             donate_argnums=(4, 5),
+            **prefill_kw,
         )
         self._decode = jax.jit(
             partial(self._decode_impl, model_cfg, eos_id),
             static_argnums=(0, 1),
             donate_argnums=(3, 4),
+            **decode_kw,
         )
         # fused: (n_steps, kv_window, params, tokens, lens, cache, sstate,
         #         sparams, slot_mask, last_tok, active)
@@ -109,6 +164,7 @@ class EngineCore:
             partial(self._prefill_decode_impl, model_cfg, eos_id),
             static_argnums=(0, 1),
             donate_argnums=(5, 6),
+            **pd_kw,
         )
 
     # -- device code --------------------------------------------------------
@@ -410,11 +466,15 @@ class GenerationEngine:
         *,
         eos_id: int = protocol.TOKEN_EOS,
         seed: int = 0,
+        mesh=None,
     ):
         self.engine_cfg = engine_cfg or EngineConfig()
+        # single-stream engine always serves slot 0; under a dp>1 mesh the
+        # slot batch is padded to dp so the batch axis shards evenly
+        batch = 1 if mesh is None else max(1, mesh.shape.get("dp", 1))
         self.core = EngineCore(
             params, model_cfg, self.engine_cfg,
-            batch_size=1, eos_id=eos_id, seed=seed,
+            batch_size=batch, eos_id=eos_id, seed=seed, mesh=mesh,
         )
         self.eos_id = eos_id
 
@@ -442,8 +502,8 @@ class GenerationEngine:
         same separation as the reference's generate_audio_tokens →
         stream_audio split."""
         sampling = sampling or SamplingConfig()
-        sp = S.SamplingParams.from_config(sampling, 1)
         core = self.core
+        sp = S.SamplingParams.from_config(sampling, core.batch)
 
         if sampling.seed is not None:
             core.seed_slots([0], [sampling.seed])

@@ -173,13 +173,15 @@ class Scheduler:
         *,
         eos_id: int = protocol.TOKEN_EOS,
         seed: int = 0,
+        mesh=None,
     ):
         self.config = config
         self.vocoder = vocoder
         self.tokenizer = tokenizer
         self.eos_id = eos_id
         self.core = EngineCore(
-            params, config.model, config.engine, eos_id=eos_id, seed=seed
+            params, config.model, config.engine, eos_id=eos_id, seed=seed,
+            mesh=mesh,
         )
         b = self.core.batch
         self.slots: List[Optional[_SlotState]] = [None] * b
@@ -338,12 +340,23 @@ class Scheduler:
         first = self.core.prefill_slots(
             prompts, slots_idx, self._sampling_params()
         )
+        done_at_admit: List[int] = []
         for slot, req in batch:
             self._last_tok[slot] = first[slot]
             self._active[slot] = True
             state = self.slots[slot]
             assert state is not None
             if state.on_tokens([int(first[slot])], self.eos_id):
+                # finished on the prefill-sampled token (max_tokens=1 or
+                # immediate EOS): run the same flush+finish sequence step()
+                # uses, or the consumer never gets a done event and hangs
+                done_at_admit.append(slot)
+        if done_at_admit:
+            self._vocode_tick(done_at_admit)
+            for slot in done_at_admit:
+                state = self.slots[slot]
+                if state is not None:
+                    self._vocode_q.put(("finish", state))
                 self._release(slot)
 
     def _release(self, slot: int) -> None:

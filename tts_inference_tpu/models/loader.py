@@ -307,6 +307,17 @@ def merge_lora_state(
     return merged
 
 
+def read_adapter_config(lora_path: str) -> dict:
+    """Read PEFT's adapter_config.json if present (reference adapters carry
+    lora_alpha/r there; `merge_and_unload` honors it —
+    `pretrained_base/modal_merge_base.py:28-65`). Returns {} when absent."""
+    f = os.path.join(lora_path, "adapter_config.json")
+    if not os.path.exists(f):
+        return {}
+    with open(f) as fh:
+        return json.load(fh)
+
+
 def load_llama_checkpoint(
     path: str,
     cfg: Optional[ModelConfig] = None,
@@ -322,5 +333,12 @@ def load_llama_checkpoint(
     sd = _read_safetensors_dir(path)
     if lora_path is not None:
         lora_sd = _read_safetensors_dir(lora_path)
-        sd = merge_lora_state(sd, lora_sd)
+        acfg = read_adapter_config(lora_path)
+        alpha = float(acfg.get("lora_alpha", 32.0))
+        r = acfg.get("r")
+        # rslora scales by alpha/sqrt(r) instead of alpha/r
+        scale = None
+        if acfg.get("use_rslora") and r:
+            scale = alpha / float(r) ** 0.5
+        sd = merge_lora_state(sd, lora_sd, scale=scale, alpha=alpha, r=r)
     return llama_params_from_hf_state(sd, cfg, dtype=dtype), cfg

@@ -73,6 +73,29 @@ def llama_param_pspecs(model_cfg: ModelConfig) -> Dict[str, Any]:
     return specs
 
 
+def adapt_pspecs(pspecs, params):
+    """Adapt a dense-param PartitionSpec tree to the actual params tree.
+
+    int8 weight-only quantization (models/quant.py) replaces weight arrays
+    with QuantLinear/QuantEmbed pairs; the int8 tensor keeps the dense
+    spec and the per-channel scale shards along its own axis (out-channels
+    for linears, vocab rows for embeddings)."""
+    from tts_inference_tpu.models.quant import QuantEmbed, QuantLinear
+
+    def fix(spec, leaf):
+        if isinstance(leaf, QuantLinear):
+            out_ax = spec[1] if len(spec) > 1 else None
+            return QuantLinear(w_i8=spec, scale=P(out_ax))
+        if isinstance(leaf, QuantEmbed):
+            row_ax = spec[0] if len(spec) > 0 else None
+            return QuantEmbed(w_i8=spec, scale=P(row_ax))
+        return spec
+
+    return jax.tree.map(
+        fix, pspecs, params, is_leaf=lambda x: isinstance(x, P)
+    )
+
+
 def kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False):
     """KVCache(k, v, lengths[, scales]): slots over dp, kv heads over tp."""
     from tts_inference_tpu.models.llama import KVCache
@@ -90,9 +113,30 @@ def kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False):
 
 
 def sampling_state_pspecs():
+    """SamplingState(presence, key, in_speech, frame_pos): rows over dp."""
     from tts_inference_tpu.ops.sampling import SamplingState
 
-    return SamplingState(presence=P("dp", None), key=P("dp", None))
+    return SamplingState(
+        presence=P("dp", None),
+        key=P("dp", None),
+        in_speech=P("dp"),
+        frame_pos=P("dp"),
+    )
+
+
+def sampling_params_pspecs():
+    """SamplingParams: every field is a per-slot (B,) array → dp rows."""
+    from tts_inference_tpu.ops.sampling import SamplingParams
+
+    return SamplingParams(
+        temperature=P("dp"),
+        top_p=P("dp"),
+        top_k=P("dp"),
+        repetition_penalty=P("dp"),
+        allowed_min=P("dp"),
+        allowed_max=P("dp"),
+        frame_protocol=P("dp"),
+    )
 
 
 def batch_pspec() -> P:

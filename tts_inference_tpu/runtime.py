@@ -46,6 +46,7 @@ class Runtime:
     vocoder: snac.SnacDecoder
     tokenizer: object
     load_timings: dict
+    mesh: object = None   # jax.sharding.Mesh when config.mesh asks for >1 dev
 
     @classmethod
     def create(
@@ -120,9 +121,18 @@ class Runtime:
         tokenizer = load_tokenizer(tok_dir) if tok_dir else ByteTokenizer()
         timings["load_tokenizer_s"] = time.perf_counter() - t0
 
+        # sharded serving: build the device mesh once; the single-stream
+        # engine and the continuous-batching scheduler both run their jitted
+        # graphs over it (TP over ICI + DP over slots, SURVEY.md §5.8)
+        mesh = None
+        if config.mesh.num_devices > 1:
+            from tts_inference_tpu.parallel import mesh as M
+
+            mesh = M.make_mesh(config.mesh)
+
         engine = GenerationEngine(
             params, config.model, config.engine,
-            eos_id=protocol.TOKEN_EOS, seed=seed,
+            eos_id=protocol.TOKEN_EOS, seed=seed, mesh=mesh,
         )
         pipeline = TTSPipeline(engine, vocoder, tokenizer, config)
 
@@ -144,7 +154,8 @@ class Runtime:
                 for k, v in info.items()
             })
 
-        return cls(config, pipeline, engine, vocoder, tokenizer, timings)
+        return cls(config, pipeline, engine, vocoder, tokenizer, timings,
+                   mesh=mesh)
 
     def write_build_info(self, path: str) -> None:
         """build_info.json analog (`build_engine.py:162-175`)."""

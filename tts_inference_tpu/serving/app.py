@@ -220,6 +220,14 @@ class Server:
             return False
         return self.lock.locked()
 
+    def _token_slot(self):
+        """Token endpoints (/dump-tokens, /ws) drive the shared
+        single-stream GenerationEngine even in scheduler mode, so they must
+        ALWAYS serialize on the lock — two concurrent token requests would
+        otherwise mutate the same EngineCore's donated cache/sampling state
+        from separate executor threads."""
+        return self.lock
+
     async def generate(self, request: web.Request) -> web.Response:
         """Streaming-path WAV endpoint (reference /generate)."""
         try:
@@ -326,7 +334,7 @@ class Server:
         if self._busy():
             return web.json_response({"error": "Generation in progress"},
                                      status=503)
-        async with self._slot():
+        async with self._token_slot():
             loop = asyncio.get_running_loop()
             prompt = self.rt.pipeline.build_prompt(text, voice)
             res = await loop.run_in_executor(
@@ -457,7 +465,7 @@ class Server:
                         {"error": "Generation in progress, try again later"}
                     )
                     continue
-                async with self._slot():
+                async with self._token_slot():
                     loop = asyncio.get_running_loop()
                     prompt = self.rt.pipeline.build_prompt(text, voice)
                     total = 0
