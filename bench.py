@@ -31,12 +31,20 @@ BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 
 def build_runtime(smoke: bool, quantize: bool = False,
                   steps_per_call: int = 7, slots: int = 8,
-                  kv_int8: bool = False):
-    from tts_inference_tpu.config import Config, EngineConfig, tiny_config
+                  kv_int8: bool = False, tp: int = 1, dp: int = 1):
+    import dataclasses
+
+    from tts_inference_tpu.config import (
+        Config, EngineConfig, MeshConfig, tiny_config,
+    )
     from tts_inference_tpu.runtime import Runtime
 
+    mesh_cfg = MeshConfig(dp=dp, tp=tp)
     if smoke:
-        return Runtime.create(tiny_config(), warmup=False)
+        cfg = tiny_config()
+        if tp * dp > 1:
+            cfg = dataclasses.replace(cfg, mesh=mesh_cfg)
+        return Runtime.create(cfg, warmup=False)
     cfg = Config(
         engine=EngineConfig(
             max_input_len=128,
@@ -46,6 +54,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             decode_steps_per_call=steps_per_call,
             kv_cache_int8=kv_int8,
         ),
+        mesh=mesh_cfg,
     )
     return Runtime.create(cfg, warmup=False, quantize=quantize)
 
@@ -117,7 +126,8 @@ def run_concurrent(rt, tokens: int, streams: int) -> dict:
     from tts_inference_tpu.engine.scheduler import Scheduler, TTSRequest
 
     sched = Scheduler(
-        rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer
+        rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
+        mesh=rt.mesh,
     )
     sched.start()
 
@@ -209,15 +219,29 @@ def main() -> int:
                     help="progressive lookahead for the first chunk "
                          "(single mode; trades bounded first-chunk error "
                          "for ~85 ms TTFA per frame)")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree (mesh tp axis)")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel degree (slots over replicas)")
+    ap.add_argument("--virtual-devices", type=int, default=None,
+                    help="force N virtual CPU devices (sharding without "
+                         "hardware; implies CPU platform)")
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
-    if args.smoke:
+    if args.virtual_devices:
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual_devices}"
+        )
+    if args.smoke or args.virtual_devices:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
-                       args.slots, args.kv_int8)
+                       args.slots, args.kv_int8, args.tp, args.dp)
     if args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {
