@@ -31,7 +31,8 @@ BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 
 def build_runtime(smoke: bool, quantize: bool = False,
                   steps_per_call: int = 7, slots: int = 8,
-                  kv_int8: bool = False, tp: int = 1, dp: int = 1):
+                  kv_int8: bool = False, tp: int = 1, dp: int = 1,
+                  prefix_cache: bool = False):
     import dataclasses
 
     from tts_inference_tpu.config import (
@@ -42,6 +43,9 @@ def build_runtime(smoke: bool, quantize: bool = False,
     mesh_cfg = MeshConfig(dp=dp, tp=tp)
     if smoke:
         cfg = tiny_config()
+        if prefix_cache:
+            cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
+                cfg.engine, prefix_cache=True))
         if tp * dp > 1:
             cfg = dataclasses.replace(cfg, mesh=mesh_cfg)
         return Runtime.create(cfg, warmup=False)
@@ -53,6 +57,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             prefill_buckets=(128,),
             decode_steps_per_call=steps_per_call,
             kv_cache_int8=kv_int8,
+            prefix_cache=prefix_cache,
         ),
         mesh=mesh_cfg,
     )
@@ -219,6 +224,8 @@ def main() -> int:
                     help="progressive lookahead for the first chunk "
                          "(single mode; trades bounded first-chunk error "
                          "for ~85 ms TTFA per frame)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="enable prompt prefix KV caching")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (mesh tp axis)")
     ap.add_argument("--dp", type=int, default=1,
@@ -241,7 +248,8 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
 
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
-                       args.slots, args.kv_int8, args.tp, args.dp)
+                       args.slots, args.kv_int8, args.tp, args.dp,
+                       args.prefix_cache)
     if args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {

@@ -209,6 +209,45 @@ def test_sharded_quantized_engine_matches(mesh, params):
     np.testing.assert_array_equal(run(mesh), run(None))
 
 
+def test_sharded_prefix_cache_matches(mesh, params):
+    """Prefix caching composes with TP/DP sharding (pool rows gathered
+    inside the sharded prefill graph), still bit-exact vs unsharded."""
+    import dataclasses
+
+    from tts_inference_tpu.config import EngineConfig, SamplingConfig
+    from tts_inference_tpu.engine.engine import EngineCore
+    from tts_inference_tpu.ops import sampling as S
+
+    ecfg = EngineConfig(
+        max_batch_size=4, max_input_len=32, max_output_len=96,
+        prefill_buckets=(8, 16, 32), kv_buckets=(32, 64),
+        decode_steps_per_call=4, prefix_cache=True,
+    )
+    sp = S.SamplingParams.from_config(SamplingConfig(greedy=True), 4)
+    prompts = [[9] * 6 + [7, 8, 9, 10], [9] * 6 + [13, 14]]
+
+    def run(m):
+        core = EngineCore(params, CFG, ecfg, eos_id=5, mesh=m)
+        core.seed_slots([0, 1], [1, 2])
+        t0, tok, act = core.prefill_decode_launch(
+            prompts, [0, 1], sp, np.zeros(4, np.int32), np.zeros(4, bool),
+            n=3,
+        )
+        t1, _, _ = core.decode_steps(sp, tok, act)
+        core.reset_slots([0, 1])
+        t2, tok, act = core.prefill_decode_launch(   # prefix HIT path
+            prompts, [0, 1], sp, tok, act, n=3
+        )
+        return (np.concatenate(
+            [np.asarray(t0)[:2], t1[:2], np.asarray(t2)[:2]], axis=1
+        ), core.prefix_hits)
+
+    a, hits_a = run(mesh)
+    b, hits_b = run(None)
+    np.testing.assert_array_equal(a, b)
+    assert hits_a == hits_b == 2
+
+
 def test_sharded_scheduler_stream_matches_unsharded(mesh):
     """Continuous-batching Scheduler emits IDENTICAL audio streams with and
     without a mesh (VERDICT r1 item 2: tp>1 serving must be output-invisible)."""

@@ -36,6 +36,9 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-batch-size", type=int, default=None)
     p.add_argument("--prefill-buckets", default=None,
                    help="comma-separated prompt buckets, e.g. 64,128")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="cache KV for repeated prompt prefixes (the "
+                        "reference's vLLM enable_prefix_caching analog)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (mesh tp axis over ICI)")
     p.add_argument("--dp", type=int, default=1,
@@ -81,6 +84,8 @@ def _build_runtime(args):
         eng_over["prefill_buckets"] = tuple(
             int(x) for x in args.prefill_buckets.split(",")
         )
+    if getattr(args, "prefix_cache", False):
+        eng_over["prefix_cache"] = True
     if eng_over:
         cfg = dataclasses.replace(
             cfg, engine=dataclasses.replace(cfg.engine, **eng_over)

@@ -180,6 +180,14 @@ class EngineConfig:
     # read bandwidth; per-(slot, position, head) scales, dequant fused into
     # the attention dots. Off by default (bit-identical serving).
     kv_cache_int8: bool = False
+    # Prefix caching (reference: vLLM enable_prefix_caching=True,
+    # modal_audio_stream.py:232): KV for repeated prompt prefixes — the
+    # shared "{voice}: " header, or whole repeated prompts — is computed
+    # once into a device-side pool and injected into the slot cache at
+    # admission, so same-prefix requests prefill only their suffix.
+    prefix_cache: bool = False
+    prefix_len: int = 32          # cached prefix bucket (tokens)
+    prefix_entries: int = 16      # pool capacity (LRU)
     compilation_cache_dir: Optional[str] = None
 
     @property

@@ -167,7 +167,212 @@ class EngineCore:
             **pd_kw,
         )
 
+        # --- prefix cache (EngineConfig.prefix_cache; reference analog:
+        # vLLM enable_prefix_caching, modal_audio_stream.py:232) ------------
+        # KV for repeated prompt prefixes lives in a device-side pool
+        # (per-layer (N, PB, Hkv, D) arrays); admission gathers pool rows by
+        # index INSIDE the prefill graph — zero host↔device prefix traffic
+        # on a hit, and the suffix picks a smaller prefill bucket.
+        self.prefix_hits = 0
+        self.prefix_misses = 0
+        if engine_cfg.prefix_cache:
+            import collections as _collections
+
+            pb = engine_cfg.prefix_len
+            n_entries = engine_cfg.prefix_entries
+            int8 = engine_cfg.kv_cache_int8
+            self._prefix_map: "dict" = _collections.OrderedDict()
+            self._prefix_free = list(range(n_entries))
+            hkv, hd = model_cfg.num_key_value_heads, model_cfg.head_dim
+            nl = model_cfg.num_hidden_layers
+            kv_dt = jnp.int8 if int8 else llama.param_dtype(model_cfg)
+            pool_shape = (n_entries, pb, hkv, hd)
+            mk = lambda: tuple(  # noqa: E731
+                jnp.zeros(pool_shape, kv_dt) for _ in range(nl)
+            )
+            mks = lambda: tuple(  # noqa: E731
+                jnp.zeros(pool_shape[:3], jnp.float32) for _ in range(nl)
+            ) if int8 else ()
+            self._pool = (mk(), mk(), mks(), mks())
+            ppfx_kw: dict = {}
+            pdpfx_kw: dict = {}
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                pool_sh = NamedSharding(mesh, P(None, None, "tp", None))
+                pscale_sh = NamedSharding(mesh, P(None, None, "tp"))
+                pk_sh = tuple(pool_sh for _ in range(nl))
+                psc_sh = tuple(pscale_sh for _ in range(nl)) if int8 else ()
+                pools_sh = (pk_sh, pk_sh, psc_sh, psc_sh)
+                self._pool = jax.device_put(self._pool, pools_sh)
+                # (params, tokens, lens, ptoks, plens, pidx, pools…,
+                #  cache, sstate, sparams, slot_mask)
+                psh_ = prefill_kw["in_shardings"][0]
+                cache_sh_ = prefill_kw["in_shardings"][3]
+                sstate_sh_ = prefill_kw["in_shardings"][4]
+                sparams_sh_ = prefill_kw["in_shardings"][5]
+                dp_ = NamedSharding(mesh, P("dp"))
+                dp2_ = NamedSharding(mesh, P("dp", None))
+                ppfx_kw = dict(
+                    in_shardings=(psh_, dp2_, dp_, dp2_, dp_, dp_, pools_sh,
+                                  cache_sh_, sstate_sh_, sparams_sh_, dp_),
+                    out_shardings=(dp_, cache_sh_, sstate_sh_),
+                )
+                pdpfx_kw = dict(
+                    in_shardings=(psh_, dp2_, dp_, dp2_, dp_, dp_, pools_sh,
+                                  cache_sh_, sstate_sh_, sparams_sh_, dp_,
+                                  dp_, dp_),
+                    out_shardings=(dp2_, dp_, dp_, cache_sh_, sstate_sh_),
+                )
+            # (params, ptoks (1, PB), plen (1,)) → per-layer prefix KV
+            self._prefix_build = jax.jit(
+                partial(self._prefix_build_impl, model_cfg, pb, int8)
+            )
+            # (pools…, new…, idx) → pools, donated in place
+            self._pool_put = jax.jit(
+                self._pool_put_impl, donate_argnums=(0, 1, 2, 3)
+            )
+            # (params, tokens, lens, ptoks, plens, pidx, pools, cache,
+            #  sstate, sparams, slot_mask)
+            self._prefill_prefix = jax.jit(
+                partial(self._prefill_prefix_impl, model_cfg),
+                donate_argnums=(7, 8),
+                **ppfx_kw,
+            )
+            # (n_steps, kv_window, params, tokens, lens, ptoks, plens, pidx,
+            #  pools, cache, sstate, sparams, slot_mask, last_tok, active)
+            self._prefill_decode_prefix = jax.jit(
+                partial(self._prefill_decode_prefix_impl, model_cfg, eos_id),
+                static_argnums=(0, 1),
+                donate_argnums=(9, 10),
+                **pdpfx_kw,
+            )
+
     # -- device code --------------------------------------------------------
+
+    @staticmethod
+    def _restore_rows(sstate, new_state, slot_mask):
+        """Keep new sampling-state rows only for slots in slot_mask —
+        admission must not perturb mid-generation neighbors."""
+        return S.SamplingState(
+            presence=jnp.where(
+                slot_mask[:, None], new_state.presence, sstate.presence
+            ),
+            key=jnp.where(slot_mask[:, None], new_state.key, sstate.key),
+            in_speech=jnp.where(
+                slot_mask, new_state.in_speech, sstate.in_speech
+            ),
+            frame_pos=jnp.where(
+                slot_mask, new_state.frame_pos, sstate.frame_pos
+            ),
+        )
+
+    @staticmethod
+    def _prefix_build_impl(model_cfg, pb, int8, params, ptoks, plen):
+        """Compute prefix KV in a throwaway 1-slot cache of length PB.
+
+        Causality makes this exact: prefix tokens never attend the suffix,
+        so their KV is identical whether computed alone or as part of a full
+        prompt prefill."""
+        cache = llama.init_kv_cache(model_cfg, 1, pb, int8=int8)
+        _, cache = llama.prefill(params, model_cfg, ptoks, plen, cache)
+        return (cache.k, cache.v, cache.k_scale, cache.v_scale)
+
+    @staticmethod
+    def _pool_put_impl(pool_k, pool_v, pool_ks, pool_vs, new, idx):
+        """Write a built prefix entry (tuples of (1, PB, …)) at pool row
+        idx; pools are donated so XLA updates them in place."""
+        nk, nv, nks, nvs = new
+        put = lambda pool, n: tuple(  # noqa: E731
+            p.at[idx].set(x[0].astype(p.dtype)) for p, x in zip(pool, n)
+        )
+        return (put(pool_k, nk), put(pool_v, nv),
+                put(pool_ks, nks), put(pool_vs, nvs))
+
+    @staticmethod
+    def _inject_prefix(cache, pools, pidx, inject_mask):
+        """Gather pool rows by per-slot index and write them into cache
+        positions [0, PB) for slots in inject_mask."""
+        pool_k, pool_v, pool_ks, pool_vs = pools
+
+        def inj(c, pool):
+            sel = pool[pidx]                      # (B, PB, …)
+
+            def one(cb, pb, m):
+                upd = jax.lax.dynamic_update_slice(
+                    cb, pb.astype(cb.dtype), (0,) * cb.ndim
+                )
+                return jnp.where(m, upd, cb)
+
+            return jax.vmap(one)(c, sel, inject_mask)
+
+        k = tuple(inj(c, p) for c, p in zip(cache.k, pool_k))
+        v = tuple(inj(c, p) for c, p in zip(cache.v, pool_v))
+        ks = tuple(inj(c, p) for c, p in zip(cache.k_scale, pool_ks))
+        vs = tuple(inj(c, p) for c, p in zip(cache.v_scale, pool_vs))
+        return cache._replace(k=k, v=v, k_scale=ks, v_scale=vs)
+
+    @staticmethod
+    def _prefix_prefill_core(
+        model_cfg, params, tokens, lens, ptoks, plens, pidx, pools, cache,
+        sstate, sparams, slot_mask,
+    ):
+        """Shared prefix-prefill: inject cached prefix KV, forward the
+        suffix at write_pos=plens, sample the first token. The attention
+        window is static from shapes: suffix bucket + PB."""
+        inject = slot_mask & (plens > 0)
+        cache = EngineCore._inject_prefix(cache, pools, pidx, inject)
+        wp = jnp.where(inject, plens, 0)
+        seg = jnp.where(slot_mask, lens, 0)
+        window = min(tokens.shape[1] + ptoks.shape[1], cache.max_seq)
+        hidden, cache = llama.forward(
+            params, model_cfg, tokens, cache, wp, seg, kv_window=window
+        )
+        b = tokens.shape[0]
+        last = jnp.maximum(seg - 1, 0)
+        logits = llama.compute_logits(
+            params, model_cfg, hidden[jnp.arange(b), last]
+        )
+        marked = S.mark_prompt(
+            sstate, ptoks, jnp.where(inject, plens, jnp.zeros_like(plens))
+        )
+        marked = S.mark_prompt(marked, tokens, seg)
+        tok, new_state = S.sample(logits, sparams, marked)
+        sstate = EngineCore._restore_rows(sstate, new_state, slot_mask)
+        return tok, cache, sstate
+
+    @staticmethod
+    def _prefill_prefix_impl(
+        model_cfg, params, tokens, lens, ptoks, plens, pidx, pools, cache,
+        sstate, sparams, slot_mask,
+    ):
+        return EngineCore._prefix_prefill_core(
+            model_cfg, params, tokens, lens, ptoks, plens, pidx, pools,
+            cache, sstate, sparams, slot_mask,
+        )
+
+    @staticmethod
+    def _prefill_decode_prefix_impl(
+        model_cfg, eos_id, n_steps, kv_window, params, tokens, lens, ptoks,
+        plens, pidx, pools, cache, sstate, sparams, slot_mask, last_tok,
+        active,
+    ):
+        """Fused prefix-prefill + n decode steps (one dispatch, same TTFA
+        saving as _prefill_decode_impl)."""
+        ptok, cache, sstate = EngineCore._prefix_prefill_core(
+            model_cfg, params, tokens, lens, ptoks, plens, pidx, pools,
+            cache, sstate, sparams, slot_mask,
+        )
+        tok0 = jnp.where(slot_mask, ptok, last_tok)
+        active0 = jnp.where(slot_mask, ptok != eos_id, active)
+        toks, tok, active, cache, sstate = EngineCore._decode_impl(
+            model_cfg, eos_id, n_steps, kv_window, params, cache, sstate,
+            sparams, tok0, active0,
+        )
+        return (
+            jnp.concatenate([tok0[:, None], toks], axis=1),
+            tok, active, cache, sstate,
+        )
 
     @staticmethod
     def _prefill_impl(
@@ -307,6 +512,78 @@ class EngineCore:
             key=self.sampling_state.key.at[idx].set(keys)
         )
 
+    # -- prefix-cache host side ----------------------------------------------
+
+    MIN_PREFIX = 4   # don't cache prefixes shorter than this
+
+    def _acquire_prefixes(self, prompts: Sequence[Sequence[int]]):
+        """Split prompts into (cached prefix, suffix); build pool entries
+        for missing prefixes. Returns (suffixes, pidx, plens, prefix_rows)
+        over the given prompts. LRU capacity = EngineConfig.prefix_entries."""
+        pb = self.engine_cfg.prefix_len
+        suffixes, pidxs, plens, rows = [], [], [], []
+        for p in prompts:
+            p = list(p)
+            cut = min(len(p) - 1, pb)
+            if cut < self.MIN_PREFIX:
+                suffixes.append(p)
+                pidxs.append(0)
+                plens.append(0)
+                rows.append([0] * pb)
+                continue
+            key = tuple(p[:cut])
+            entry = self._prefix_map.get(key)
+            if entry is None:
+                if self._prefix_free:
+                    idx = self._prefix_free.pop()
+                else:  # LRU eviction
+                    _, idx = self._prefix_map.popitem(last=False)
+                ptok = np.zeros((1, pb), np.int32)
+                ptok[0, :cut] = p[:cut]
+                built = self._prefix_build(
+                    self.params, jnp.asarray(ptok),
+                    jnp.asarray([cut], jnp.int32),
+                )
+                self._pool = self._pool_put(
+                    *self._pool, built, jnp.int32(idx)
+                )
+                self._prefix_map[key] = idx
+                self.prefix_misses += 1
+            else:
+                idx = entry
+                self._prefix_map.move_to_end(key)
+                self.prefix_hits += 1
+            suffixes.append(p[cut:])
+            pidxs.append(idx)
+            plens.append(cut)
+            rows.append(p[:cut] + [0] * (pb - cut))
+        return suffixes, pidxs, plens, rows
+
+    def _prefix_batch_arrays(self, prompts, slots):
+        """Host arrays for a prefix-aware prefill over the slot batch."""
+        suffixes, pidxs, plens_l, rows = self._acquire_prefixes(prompts)
+        pb = self.engine_cfg.prefix_len
+        bucket = self.bucket_len(max((len(s) for s in suffixes), default=1))
+        tokens = np.zeros((self.batch, bucket), np.int32)
+        lens = np.zeros((self.batch,), np.int32)
+        ptoks = np.zeros((self.batch, pb), np.int32)
+        plens = np.zeros((self.batch,), np.int32)
+        pidx = np.zeros((self.batch,), np.int32)
+        mask = np.zeros((self.batch,), bool)
+        for suf, pi, pl, row, sl in zip(suffixes, pidxs, plens_l, rows, slots):
+            suf = suf[:bucket]
+            tokens[sl, : len(suf)] = suf
+            lens[sl] = len(suf)
+            ptoks[sl] = row
+            plens[sl] = pl
+            pidx[sl] = pi
+            mask[sl] = True
+        bounds = {
+            sl: pl + min(len(suf), bucket) + 1
+            for suf, pl, sl in zip(suffixes, plens_l, slots)
+        }
+        return tokens, lens, ptoks, plens, pidx, mask, bounds
+
     def prefill_slots(
         self,
         prompts: Sequence[Sequence[int]],
@@ -319,6 +596,19 @@ class EngineCore:
         inactive slots get seg_len 0 and are untouched.
         """
         assert len(prompts) == len(slots)
+        if self.engine_cfg.prefix_cache:
+            tokens, lens, ptoks, plens, pidx, mask, bounds = \
+                self._prefix_batch_arrays(prompts, slots)
+            self.reset_slots(slots)
+            tok, self.cache, self.sampling_state = self._prefill_prefix(
+                self.params, jnp.asarray(tokens), jnp.asarray(lens),
+                jnp.asarray(ptoks), jnp.asarray(plens), jnp.asarray(pidx),
+                self._pool, self.cache, self.sampling_state, sparams,
+                jnp.asarray(mask),
+            )
+            for sl, b in bounds.items():
+                self._len_bounds[sl] = b
+            return np.asarray(tok)
         bucket = self.bucket_len(max((len(p) for p in prompts), default=1))
         tokens = np.zeros((self.batch, bucket), np.int32)
         lens = np.zeros((self.batch,), np.int32)
@@ -351,6 +641,25 @@ class EngineCore:
         token in column 0, last_tok, active)."""
         n = n or self.engine_cfg.decode_steps_per_call
         assert len(prompts) == len(slots)
+        if self.engine_cfg.prefix_cache:
+            tokens, lens, ptoks, plens, pidx, mask, bounds = \
+                self._prefix_batch_arrays(prompts, slots)
+            self.reset_slots(slots)
+            for sl, b in bounds.items():
+                self._len_bounds[sl] = b
+            needed = int(self._len_bounds.max(initial=0)) + n + 1
+            window = self.kv_bucket(needed)
+            toks, tok, act, self.cache, self.sampling_state = \
+                self._prefill_decode_prefix(
+                    n, window, self.params, jnp.asarray(tokens),
+                    jnp.asarray(lens), jnp.asarray(ptoks),
+                    jnp.asarray(plens), jnp.asarray(pidx), self._pool,
+                    self.cache, self.sampling_state, sparams,
+                    jnp.asarray(mask), jnp.asarray(last_tok, jnp.int32),
+                    jnp.asarray(active),
+                )
+            self._len_bounds[self._len_bounds > 0] += n
+            return toks, tok, act
         bucket = self.bucket_len(max((len(p) for p in prompts), default=1))
         tokens = np.zeros((self.batch, bucket), np.int32)
         lens = np.zeros((self.batch,), np.int32)
@@ -423,8 +732,13 @@ class EngineCore:
         n = self.engine_cfg.decode_steps_per_call
         zeros_tok = np.zeros(self.batch, np.int32)
         zeros_act = np.zeros(self.batch, bool)
+        # with prefix_cache, the first prefix_len tokens are cached and the
+        # SUFFIX picks the bucket — pad the probe so every bucket compiles
+        # (the first probe also compiles the miss path: build + pool_put)
+        plen = self.engine_cfg.prefix_len if self.engine_cfg.prefix_cache \
+            else 0
         for b in self.engine_cfg.prefill_buckets:
-            probe = [1] * b  # length b lands exactly in bucket b
+            probe = [1] * (b + plen)  # suffix of length b lands in bucket b
             with t.phase(f"compile_prefill_{b}"):
                 self.prefill_slots([probe], [0], sp)
             with t.phase(f"compile_prefill_decode_{b}"):
