@@ -32,7 +32,8 @@ BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 def build_runtime(smoke: bool, quantize: bool = False,
                   steps_per_call: int = 7, slots: int = 8,
                   kv_int8: bool = False, tp: int = 1, dp: int = 1,
-                  prefix_cache: bool = False):
+                  prefix_cache: bool = False, paged_kv: bool = False,
+                  kv_pool_tokens=None):
     import dataclasses
 
     from tts_inference_tpu.config import (
@@ -58,6 +59,8 @@ def build_runtime(smoke: bool, quantize: bool = False,
             decode_steps_per_call=steps_per_call,
             kv_cache_int8=kv_int8,
             prefix_cache=prefix_cache,
+            paged_kv=paged_kv,
+            kv_pool_tokens=kv_pool_tokens,
         ),
         mesh=mesh_cfg,
     )
@@ -226,6 +229,10 @@ def main() -> int:
                          "for ~85 ms TTFA per frame)")
     ap.add_argument("--prefix-cache", action="store_true",
                     help="enable prompt prefix KV caching")
+    ap.add_argument("--paged-kv", action="store_true",
+                    help="paged/blocked KV cache")
+    ap.add_argument("--kv-pool-tokens", type=int, default=None,
+                    help="paged KV pool size in tokens")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (mesh tp axis)")
     ap.add_argument("--dp", type=int, default=1,
@@ -249,7 +256,8 @@ def main() -> int:
 
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
                        args.slots, args.kv_int8, args.tp, args.dp,
-                       args.prefix_cache)
+                       args.prefix_cache, args.paged_kv,
+                       args.kv_pool_tokens)
     if args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {

@@ -39,6 +39,11 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--prefix-cache", action="store_true",
                    help="cache KV for repeated prompt prefixes (the "
                         "reference's vLLM enable_prefix_caching analog)")
+    p.add_argument("--paged-kv", action="store_true",
+                   help="paged/blocked KV cache (block pool + per-slot "
+                        "tables; capacity-gated admission)")
+    p.add_argument("--kv-pool-tokens", type=int, default=None,
+                   help="paged KV pool size in tokens")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (mesh tp axis over ICI)")
     p.add_argument("--dp", type=int, default=1,
@@ -86,6 +91,10 @@ def _build_runtime(args):
         )
     if getattr(args, "prefix_cache", False):
         eng_over["prefix_cache"] = True
+    if getattr(args, "paged_kv", False):
+        eng_over["paged_kv"] = True
+    if getattr(args, "kv_pool_tokens", None):
+        eng_over["kv_pool_tokens"] = args.kv_pool_tokens
     if eng_over:
         cfg = dataclasses.replace(
             cfg, engine=dataclasses.replace(cfg.engine, **eng_over)

@@ -180,6 +180,14 @@ class EngineConfig:
     # read bandwidth; per-(slot, position, head) scales, dequant fused into
     # the attention dots. Off by default (bit-identical serving).
     kv_cache_int8: bool = False
+    # Paged/blocked KV cache (reference: TRT-LLM paged KV, 32 tok/block,
+    # PIPELINE_REPORT.md:58-64): slots reserve blocks from a shared pool
+    # sized in TOKENS (kv_pool_tokens; default max_batch_size*max_seq/2)
+    # instead of holding dense max_seq buffers — HBM scales with admitted
+    # work, and admission is capacity-gated like TRT in-flight batching.
+    paged_kv: bool = False
+    kv_block_size: int = 128
+    kv_pool_tokens: Optional[int] = None
     # Prefix caching (reference: vLLM enable_prefix_caching=True,
     # modal_audio_stream.py:232): KV for repeated prompt prefixes — the
     # shared "{voice}: " header, or whole repeated prompts — is computed

@@ -77,10 +77,37 @@ class EngineCore:
         self.max_seq = engine_cfg.max_seq_len
         self.mesh = mesh
 
-        self.cache = llama.init_kv_cache(
-            model_cfg, self.batch, self.max_seq,
-            int8=engine_cfg.kv_cache_int8,
-        )
+        if engine_cfg.paged_kv:
+            if engine_cfg.prefix_cache:
+                raise ValueError(
+                    "paged_kv + prefix_cache not supported together yet"
+                )
+            bs_blk = engine_cfg.kv_block_size
+            if self.max_seq % bs_blk:
+                raise ValueError(
+                    f"max_seq {self.max_seq} not a multiple of "
+                    f"kv_block_size {bs_blk}"
+                )
+            pool_tokens = engine_cfg.kv_pool_tokens or max(
+                self.max_seq, self.batch * self.max_seq // 2
+            )
+            num_blocks = 1 + max(1, pool_tokens // bs_blk)  # +1 trash block
+            self.cache = llama.init_paged_kv_cache(
+                model_cfg, self.batch, self.max_seq,
+                num_blocks=num_blocks, block_size=bs_blk,
+                int8=engine_cfg.kv_cache_int8,
+            )
+            # host-side block allocator: block 0 is the trash block
+            self._free_blocks = list(range(num_blocks - 1, 0, -1))
+            self._slot_blocks: dict = {}
+            self._table_host = np.zeros(
+                (self.batch, self.max_seq // bs_blk), np.int32
+            )
+        else:
+            self.cache = llama.init_kv_cache(
+                model_cfg, self.batch, self.max_seq,
+                int8=engine_cfg.kv_cache_int8,
+            )
         self.sampling_state = S.init_sampling_state(
             self.batch, model_cfg.vocab_size, seed
         )
@@ -112,10 +139,13 @@ class EngineCore:
             psh = M.shardings(
                 M.adapt_pspecs(M.llama_param_pspecs(model_cfg), params), mesh
             )
-            cache_sh = M.shardings(
-                M.kv_cache_pspecs(model_cfg, int8=engine_cfg.kv_cache_int8),
-                mesh,
+            cache_pspecs = (
+                M.paged_kv_cache_pspecs(
+                    model_cfg, int8=engine_cfg.kv_cache_int8
+                ) if engine_cfg.paged_kv else
+                M.kv_cache_pspecs(model_cfg, int8=engine_cfg.kv_cache_int8)
             )
+            cache_sh = M.shardings(cache_pspecs, mesh)
             sstate_sh = M.shardings(M.sampling_state_pspecs(), mesh)
             sparams_sh = M.shardings(M.sampling_params_pspecs(), mesh)
             dp = NamedSharding(mesh, P("dp"))
@@ -488,10 +518,75 @@ class EngineCore:
                 return b
         return self.max_seq
 
+    # -- paged-KV block allocator (engine_cfg.paged_kv) ----------------------
+
+    def free_tokens(self) -> int:
+        """Unreserved KV pool capacity in tokens (∞-like when dense)."""
+        if not self.engine_cfg.paged_kv:
+            return self.batch * self.max_seq
+        return len(self._free_blocks) * self.engine_cfg.kv_block_size
+
+    def kv_demand(self, prompt_len: int, max_tokens: int) -> int:
+        """Tokens a request will reserve: padded prompt bucket + its token
+        budget + decode-call slack, rounded up to whole blocks."""
+        bs_blk = self.engine_cfg.kv_block_size
+        total = min(
+            self.bucket_len(prompt_len) + max_tokens
+            + self.engine_cfg.decode_steps_per_call + 1,
+            self.max_seq,
+        )
+        return -(-total // bs_blk) * bs_blk
+
+    def _reserve_blocks(self, slots: Sequence[int],
+                        totals: Sequence[int]) -> None:
+        """Reserve ceil(total/block) pool blocks per slot; one table push."""
+        bs_blk = self.engine_cfg.kv_block_size
+        for sl, total in zip(slots, totals):
+            n_blk = min(-(-int(total) // bs_blk),
+                        self._table_host.shape[1])
+            if n_blk > len(self._free_blocks):
+                raise RuntimeError(
+                    f"KV pool exhausted: need {n_blk} blocks, "
+                    f"{len(self._free_blocks)} free (capacity-gate "
+                    "admissions with free_tokens()/kv_demand())"
+                )
+            blocks = [self._free_blocks.pop() for _ in range(n_blk)]
+            self._slot_blocks[sl] = blocks
+            self._table_host[sl] = 0
+            self._table_host[sl, : n_blk] = blocks
+        self.cache = self.cache._replace(
+            block_table=jnp.asarray(self._table_host)
+        )
+
+    def _free_slot_blocks(self, slots: Sequence[int]) -> None:
+        changed = False
+        for sl in slots:
+            blocks = self._slot_blocks.pop(sl, None)
+            if blocks:
+                self._free_blocks.extend(blocks)
+                self._table_host[sl] = 0
+                changed = True
+        if changed:
+            self.cache = self.cache._replace(
+                block_table=jnp.asarray(self._table_host)
+            )
+
+    def _maybe_reserve(self, prompts, slots, bucket, reserve_extra) -> None:
+        if not self.engine_cfg.paged_kv:
+            return
+        extras = (list(reserve_extra) if reserve_extra is not None
+                  else [self.engine_cfg.max_output_len] * len(prompts))
+        slack = self.engine_cfg.decode_steps_per_call + 1
+        totals = [min(bucket + e + slack, self.max_seq) for e in extras]
+        self._reserve_blocks(slots, totals)
+
     def reset_slots(self, slots: Sequence[int]) -> None:
-        """Clear cache lengths + sampling presence for reused slots."""
+        """Clear cache lengths + sampling presence for reused slots (and
+        release their KV blocks in paged mode)."""
         for sl in slots:
             self._len_bounds[sl] = 0
+        if self.engine_cfg.paged_kv:
+            self._free_slot_blocks(slots)
         idx = jnp.asarray(list(slots), jnp.int32)
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[idx].set(0)
@@ -589,11 +684,14 @@ class EngineCore:
         prompts: Sequence[Sequence[int]],
         slots: Sequence[int],
         sparams: S.SamplingParams,
+        reserve_extra: Optional[Sequence[int]] = None,
     ) -> np.ndarray:
         """Prefill the given slots with prompts; returns first tokens (B,).
 
         Note: prefill runs over the whole slot batch (a fixed-shape graph);
-        inactive slots get seg_len 0 and are untouched.
+        inactive slots get seg_len 0 and are untouched. In paged-KV mode
+        each slot reserves bucket+reserve_extra[i] tokens of pool blocks
+        (default: max_output_len).
         """
         assert len(prompts) == len(slots)
         if self.engine_cfg.prefix_cache:
@@ -619,6 +717,7 @@ class EngineCore:
             lens[s] = len(p)
             mask[s] = True
         self.reset_slots(slots)
+        self._maybe_reserve(prompts, slots, bucket, reserve_extra)
         tok, self.cache, self.sampling_state = self._prefill(
             bucket, self.params, jnp.asarray(tokens), jnp.asarray(lens),
             self.cache, self.sampling_state, sparams, jnp.asarray(mask),
@@ -635,6 +734,7 @@ class EngineCore:
         last_tok,
         active,
         n: Optional[int] = None,
+        reserve_extra: Optional[Sequence[int]] = None,
     ):
         """Fused admission prefill + n decode steps, launched without
         waiting. Returns device arrays (toks (B, n+1) incl. the prefill
@@ -670,6 +770,7 @@ class EngineCore:
             lens[sl] = len(p)
             mask[sl] = True
         self.reset_slots(slots)
+        self._maybe_reserve(prompts, slots, bucket, reserve_extra)
         for p, sl in zip(prompts, slots):
             self._len_bounds[sl] = min(len(p), bucket) + 1
         needed = int(self._len_bounds.max(initial=0)) + n + 1
@@ -836,7 +937,7 @@ class GenerationEngine:
         pending.append(core.prefill_decode_launch(
             [list(prompt_ids)], [0], sp,
             np.zeros(core.batch, np.int32), np.zeros(core.batch, bool),
-            n=max(n_first, 1),
+            n=max(n_first, 1), reserve_extra=[max_new],
         ))
         produced = 0
         scheduled = pending[0][0].shape[1]

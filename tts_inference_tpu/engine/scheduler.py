@@ -218,6 +218,9 @@ class Scheduler:
 
         self.pipeline_depth = 2
         self._inflight = collections.deque()
+        # requests that fit a free slot but not the paged-KV pool wait here
+        # (FIFO ahead of `pending`) until blocks free up
+        self._held = collections.deque()
         # watchdog (SURVEY.md §5.3 — the reference's engine-core "dies
         # unexpectedly mid-generation, connections hang" lesson): if the
         # loop makes no progress for `watchdog_s`, all live requests are
@@ -297,36 +300,59 @@ class Scheduler:
             frame_protocol=jnp.asarray(self._sp["frame_protocol"]),
         )
 
+    def _build_prompt(self, req: TTSRequest) -> List[int]:
+        ids = self.tokenizer.encode(
+            protocol.format_prompt_text(
+                req.text[: protocol.MAX_TEXT_CHARS], req.voice
+            )
+        )
+        return protocol.format_prompt_ids(ids, force_speech=req.force_speech)
+
     def _admit(self) -> None:
         free = [i for i, s in enumerate(self.slots) if s is None]
         batch: List[tuple] = []
-        while free and not self.pending.empty():
-            try:
-                req = self.pending.get_nowait()
-            except queue.Empty:
-                break
+        while free:
+            if self._held:
+                req = self._held.popleft()
+            else:
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
             if req.cancelled:
                 req.events.put(("done", StreamMetrics()))
                 continue
             slot = free.pop(0)
-            batch.append((slot, req))
+            batch.append((slot, req, self._build_prompt(req)))
+        if self.config.engine.paged_kv and batch:
+            # capacity gate (the TRT in-flight-batching behavior): admit
+            # only what the KV block pool can hold; the rest waits its turn
+            bs_blk = self.config.engine.kv_block_size
+            slack = self.config.engine.decode_steps_per_call + 1
+            while batch:
+                bucket = self.core.bucket_len(
+                    max(len(p) for _, _, p in batch)
+                )
+                demand = sum(
+                    -(-min(bucket + r.sampling.max_tokens + slack,
+                           self.core.max_seq) // bs_blk) * bs_blk
+                    for _, r, _ in batch
+                )
+                if demand <= self.core.free_tokens():
+                    break
+                slot, req, _ = batch.pop()   # defer the newest candidate
+                self._held.appendleft(req)
         if not batch:
             return
-        prompts, slots_idx, seeds = [], [], []
-        for slot, req in batch:
+        prompts, slots_idx, seeds, extras = [], [], [], []
+        for slot, req, prompt in batch:
             state = _SlotState(req, self)
             self.slots[slot] = state
-            ids = self.tokenizer.encode(
-                protocol.format_prompt_text(
-                    req.text[: protocol.MAX_TEXT_CHARS], req.voice
-                )
-            )
-            prompts.append(protocol.format_prompt_ids(
-                ids, force_speech=req.force_speech
-            ))
+            prompts.append(prompt)
             slots_idx.append(slot)
             seeds.append(req.sampling.seed if req.sampling.seed is not None
                          else req.id)
+            extras.append(req.sampling.max_tokens)
             sp = req.sampling
             self._sp["temperature"][slot] = 0.0 if sp.greedy else sp.temperature
             self._sp["top_p"][slot] = sp.top_p
@@ -338,10 +364,11 @@ class Scheduler:
             self._sp["frame_protocol"][slot] = sp.frame_protocol
         self.core.seed_slots(slots_idx, seeds)
         first = self.core.prefill_slots(
-            prompts, slots_idx, self._sampling_params()
+            prompts, slots_idx, self._sampling_params(),
+            reserve_extra=extras,
         )
         done_at_admit: List[int] = []
-        for slot, req in batch:
+        for slot, req, _ in batch:
             self._last_tok[slot] = first[slot]
             self._active[slot] = True
             state = self.slots[slot]
@@ -362,6 +389,9 @@ class Scheduler:
     def _release(self, slot: int) -> None:
         self.slots[slot] = None
         self._active[slot] = False
+        if self.config.engine.paged_kv:
+            # release KV blocks immediately so held requests can admit
+            self.core._free_slot_blocks([slot])
 
     def _vocode_tick(self, finishing: List[int]) -> None:
         """Plan every stream's pending vocoder window and hand the batch to
@@ -451,7 +481,7 @@ class Scheduler:
         did = False
         # speculative top-up: keep the launch queue full while no admissions
         # wait (each launch chains device handles from the newest one)
-        while (self._inflight and self.pending.empty()
+        while (self._inflight and self.pending.empty() and not self._held
                and self._active.any()
                and len(self._inflight) < self.pipeline_depth):
             _, tok_d, act_d, sp_used, _ = self._inflight[-1]
@@ -509,6 +539,8 @@ class Scheduler:
             if state is not None:
                 state.req.events.put(("error", message))
                 self._release(slot)
+        while self._held:
+            self._held.popleft().events.put(("error", message))
         while not self.pending.empty():
             try:
                 req = self.pending.get_nowait()
@@ -527,8 +559,8 @@ class Scheduler:
             now = time.perf_counter()
             if did_work:
                 self._last_progress = now
-            elif (self.n_active or not self.pending.empty()) and \
-                    now - self._last_progress > self.watchdog_s:
+            elif (self.n_active or self._held or not self.pending.empty()) \
+                    and now - self._last_progress > self.watchdog_s:
                 self.fail_all(
                     f"watchdog: no progress for {self.watchdog_s:.0f}s"
                 )

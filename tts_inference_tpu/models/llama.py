@@ -15,7 +15,7 @@ this pytree, LoRA merged in weight space).
 from __future__ import annotations
 
 import math
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -160,6 +160,81 @@ class KVCache(NamedTuple):
         return len(self.k_scale) > 0
 
 
+class PagedKVCache(NamedTuple):
+    """Paged/blocked KV cache (the TPU analog of TRT-LLM's paged KV,
+    `tensorrt_tts/PIPELINE_REPORT.md:58-64` — 32-tok/block there).
+
+    k/v: per-layer tuples of (num_blocks, block_size, Hkv, D) POOL arrays
+    shared by all slots; block_table: (B, max_blocks_per_slot) int32 maps a
+    slot's logical block index to a pool row. Block 0 is the TRASH block —
+    never allocated, the write target for masked slots and out-of-range
+    positions (unallocated table entries are 0, so overruns land there
+    harmlessly and are never attended: reads are masked by position).
+
+    HBM cost scales with tokens actually reserved, not B×max_seq — the
+    dense cache's 32-slot × 4.6k-seq wall becomes a per-request budget
+    (prompt + max_tokens), so 64+ heterogeneous slots fit one chip.
+
+    int8 mode mirrors KVCache: int8 pools + per-(block, position, head)
+    fp32 scale pools.
+    """
+
+    k: tuple
+    v: tuple
+    block_table: jnp.ndarray     # (B, max_blocks_per_slot) int32
+    lengths: jnp.ndarray         # (B,) int32
+    k_scale: tuple = ()
+    v_scale: tuple = ()
+
+    @property
+    def block_size(self) -> int:
+        return self.k[0].shape[1]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.k[0].shape[0]
+
+    @property
+    def max_seq(self) -> int:
+        """Per-slot position capacity (table width × block size)."""
+        return self.block_table.shape[1] * self.block_size
+
+    @property
+    def quantized(self) -> bool:
+        return len(self.k_scale) > 0
+
+
+def init_paged_kv_cache(
+    cfg: ModelConfig, batch: int, max_seq: int, *,
+    num_blocks: int, block_size: int = 128, dtype=None, int8: bool = False,
+) -> PagedKVCache:
+    """Pool of `num_blocks` blocks (block 0 reserved as trash) + per-slot
+    tables sized for max_seq positions."""
+    if max_seq % block_size:
+        raise ValueError(f"max_seq {max_seq} not a multiple of "
+                         f"block_size {block_size}")
+    max_blocks = max_seq // block_size
+    shape = (num_blocks, block_size, cfg.num_key_value_heads, cfg.head_dim)
+    n = cfg.num_hidden_layers
+    table = jnp.zeros((batch, max_blocks), jnp.int32)
+    lengths = jnp.zeros((batch,), jnp.int32)
+    if int8:
+        sshape = shape[:3]
+        return PagedKVCache(
+            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
+            block_table=table, lengths=lengths,
+            k_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
+            v_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
+        )
+    dt = dtype or param_dtype(cfg)
+    return PagedKVCache(
+        k=tuple(jnp.zeros(shape, dt) for _ in range(n)),
+        v=tuple(jnp.zeros(shape, dt) for _ in range(n)),
+        block_table=table, lengths=lengths,
+    )
+
+
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_seq: int, dtype=None,
     int8: bool = False,
@@ -233,6 +308,7 @@ def _layer(
     kv_window: Optional[int],    # static: attend only to cache[:, :window]
     ks: Optional[jnp.ndarray] = None,   # (B, max_seq, Hkv) int8-mode scales
     vs: Optional[jnp.ndarray] = None,
+    table: Optional[jnp.ndarray] = None,  # paged mode: (B, max_blocks)
 ):
     b, s, _ = x.shape
     hd, nq, nkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
@@ -248,7 +324,23 @@ def _layer(
     # Scatter this chunk into the cache at per-slot write_pos — but only for
     # slots in write_mask (continuous batching: prefilling one slot must not
     # clobber the cache of a slot that is mid-generation).
-    if s == 1:
+    if table is not None:
+        # paged: position p of slot i lives at pool row table[i, p//bs],
+        # offset p%bs. Masked slots (and unallocated table entries, which
+        # are 0) land in the trash block — pool row 0, never allocated and
+        # never attended (reads are masked by position). Duplicate trash
+        # indices leave unspecified values only inside the trash block.
+        blk_sz = cache_k.shape[1]
+        pos = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+        rows = jnp.take_along_axis(table, pos // blk_sz, axis=1)
+        rows = jnp.where(write_mask[:, None], rows, 0)
+        offs = pos % blk_sz
+
+        def write(c, new):
+            return c.at[rows, offs].set(
+                new.astype(c.dtype), mode="drop", unique_indices=True,
+            )
+    elif s == 1:
         # decode hot path: redirect masked slots to a trash position instead
         # of select-copying the whole cache (bandwidth!). Position max_seq-1
         # is never attended: active slots are frozen before reaching it.
@@ -283,14 +375,33 @@ def _layer(
         cache_k = write(cache_k, k.astype(cache_k.dtype))
         cache_v = write(cache_v, v.astype(cache_v.dtype))
 
-    win = (slice(None), slice(None, kv_window)) if (
-        kv_window is not None and kv_window < max_seq) else (slice(None),)
-    ck, cv = cache_k[win], cache_v[win]
-    if ks is not None:
-        dt = k.dtype
-        ck = (ck.astype(jnp.float32) * ks[win][..., None]).astype(dt)
-        cv = (cv.astype(jnp.float32) * vs[win][..., None]).astype(dt)
-    if s == 1 and cfg.use_pallas_attention:
+    if table is not None:
+        # paged view: gather the attended window's blocks from the pool.
+        # The XLA gather materializes (B, window, Hkv, D) — correct
+        # everywhere; the TPU hot path uses the Pallas paged kernel instead
+        # (ops/pallas/paged_attention.py) which streams blocks through VMEM.
+        blk_sz = cache_k.shape[1]
+        cap = table.shape[1] * blk_sz
+        w = cap if (kv_window is None or kv_window >= cap) else kv_window
+        assert w % blk_sz == 0, (w, blk_sz)  # forward() block-aligns it
+        idx = table[:, : w // blk_sz]
+        ck = cache_k[idx].reshape(b, w, nkv, hd)
+        cv = cache_v[idx].reshape(b, w, nkv, hd)
+        if ks is not None:
+            dt = k.dtype
+            sck = ks[idx].reshape(b, w, nkv)
+            scv = vs[idx].reshape(b, w, nkv)
+            ck = (ck.astype(jnp.float32) * sck[..., None]).astype(dt)
+            cv = (cv.astype(jnp.float32) * scv[..., None]).astype(dt)
+    else:
+        win = (slice(None), slice(None, kv_window)) if (
+            kv_window is not None and kv_window < max_seq) else (slice(None),)
+        ck, cv = cache_k[win], cache_v[win]
+        if ks is not None:
+            dt = k.dtype
+            ck = (ck.astype(jnp.float32) * ks[win][..., None]).astype(dt)
+            cv = (cv.astype(jnp.float32) * vs[win][..., None]).astype(dt)
+    if s == 1 and cfg.use_pallas_attention and table is None:
         from tts_inference_tpu.ops.pallas.decode_attention import (
             decode_attention,
         )
@@ -334,6 +445,11 @@ def forward(
     b, s = tokens.shape
     max_seq = cache.max_seq
     window = max_seq if kv_window is None else min(kv_window, max_seq)
+    is_paged = isinstance(cache, PagedKVCache)
+    table = cache.block_table if is_paged else None
+    if is_paged:  # the paged view gathers whole blocks — align the window
+        bs_blk = cache.block_size
+        window = min(-(-window // bs_blk) * bs_blk, max_seq)
 
     positions = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
     cos, sin = rope_tables(cfg, positions)
@@ -353,6 +469,7 @@ def forward(
             window if window < max_seq else None,
             cache.k_scale[li] if quantized else None,
             cache.v_scale[li] if quantized else None,
+            table=table,
         )
         new_k.append(ck)
         new_v.append(cv)
@@ -362,11 +479,19 @@ def forward(
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
-    new_cache = KVCache(
-        k=tuple(new_k), v=tuple(new_v),
-        lengths=jnp.maximum(cache.lengths, write_pos + seg_lens),
-        k_scale=tuple(new_ks), v_scale=tuple(new_vs),
-    )
+    new_lengths = jnp.maximum(cache.lengths, write_pos + seg_lens)
+    if is_paged:
+        new_cache: Any = PagedKVCache(
+            k=tuple(new_k), v=tuple(new_v),
+            block_table=table, lengths=new_lengths,
+            k_scale=tuple(new_ks), v_scale=tuple(new_vs),
+        )
+    else:
+        new_cache = KVCache(
+            k=tuple(new_k), v=tuple(new_v),
+            lengths=new_lengths,
+            k_scale=tuple(new_ks), v_scale=tuple(new_vs),
+        )
     return x, new_cache
 
 

@@ -112,6 +112,25 @@ def kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False):
     )
 
 
+def paged_kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False):
+    """PagedKVCache(k, v, block_table, lengths[, scales]): the block POOL is
+    shared by all slots (replicated over dp — any slot's table may point at
+    any pool row), kv heads sharded over tp; tables/lengths follow slots."""
+    from tts_inference_tpu.models.llama import PagedKVCache
+
+    spec = P(None, None, "tp", None)
+    sspec = P(None, None, "tp")
+    n = model_cfg.num_hidden_layers
+    return PagedKVCache(
+        k=tuple(spec for _ in range(n)),
+        v=tuple(spec for _ in range(n)),
+        block_table=P("dp", None),
+        lengths=P("dp"),
+        k_scale=tuple(sspec for _ in range(n)) if int8 else (),
+        v_scale=tuple(sspec for _ in range(n)) if int8 else (),
+    )
+
+
 def sampling_state_pspecs():
     """SamplingState(presence, key, in_speech, frame_pos): rows over dp."""
     from tts_inference_tpu.ops.sampling import SamplingState
