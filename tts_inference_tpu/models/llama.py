@@ -375,24 +375,37 @@ def _layer(
         cache_k = write(cache_k, k.astype(cache_k.dtype))
         cache_v = write(cache_v, v.astype(cache_v.dtype))
 
+    attn = None
     if table is not None:
-        # paged view: gather the attended window's blocks from the pool.
-        # The XLA gather materializes (B, window, Hkv, D) — correct
-        # everywhere; the TPU hot path uses the Pallas paged kernel instead
-        # (ops/pallas/paged_attention.py) which streams blocks through VMEM.
         blk_sz = cache_k.shape[1]
         cap = table.shape[1] * blk_sz
         w = cap if (kv_window is None or kv_window >= cap) else kv_window
         assert w % blk_sz == 0, (w, blk_sz)  # forward() block-aligns it
         idx = table[:, : w // blk_sz]
-        ck = cache_k[idx].reshape(b, w, nkv, hd)
-        cv = cache_v[idx].reshape(b, w, nkv, hd)
-        if ks is not None:
-            dt = k.dtype
-            sck = ks[idx].reshape(b, w, nkv)
-            scv = vs[idx].reshape(b, w, nkv)
-            ck = (ck.astype(jnp.float32) * sck[..., None]).astype(dt)
-            cv = (cv.astype(jnp.float32) * scv[..., None]).astype(dt)
+        if s == 1 and cfg.use_pallas_attention and ks is None:
+            # paged decode hot path: the Pallas kernel streams pool blocks
+            # through VMEM once, driven by the block table — no gathered
+            # window temp in HBM (ops/pallas/paged_attention.py)
+            from tts_inference_tpu.ops.pallas.paged_attention import (
+                paged_decode_attention,
+            )
+
+            qg = q.reshape(b, nkv, nq // nkv, hd)
+            attn = paged_decode_attention(
+                qg, cache_k, cache_v, idx, write_pos
+            ).reshape(b, 1, nq, hd)
+        else:
+            # XLA paged view: gather the window's blocks from the pool into
+            # a dense (B, window, Hkv, D) temp — correct everywhere (CPU
+            # tests, int8 pools); pays the window bytes twice vs the kernel
+            ck = cache_k[idx].reshape(b, w, nkv, hd)
+            cv = cache_v[idx].reshape(b, w, nkv, hd)
+            if ks is not None:
+                dt = k.dtype
+                sck = ks[idx].reshape(b, w, nkv)
+                scv = vs[idx].reshape(b, w, nkv)
+                ck = (ck.astype(jnp.float32) * sck[..., None]).astype(dt)
+                cv = (cv.astype(jnp.float32) * scv[..., None]).astype(dt)
     else:
         win = (slice(None), slice(None, kv_window)) if (
             kv_window is not None and kv_window < max_seq) else (slice(None),)
@@ -401,7 +414,9 @@ def _layer(
             dt = k.dtype
             ck = (ck.astype(jnp.float32) * ks[win][..., None]).astype(dt)
             cv = (cv.astype(jnp.float32) * vs[win][..., None]).astype(dt)
-    if s == 1 and cfg.use_pallas_attention and table is None:
+    if attn is not None:
+        pass
+    elif s == 1 and cfg.use_pallas_attention and table is None:
         from tts_inference_tpu.ops.pallas.decode_attention import (
             decode_attention,
         )
