@@ -114,6 +114,10 @@ class SnacConfig:
     noise: bool = True
     depthwise: bool = True
     dtype: str = "float32"
+    # Fused Pallas residual-unit kernel (ops/pallas/vocoder.py): one VMEM
+    # pass per unit instead of 4 HBM-materialized intermediates.
+    # None = auto (on for TPU, off elsewhere); True/False forces.
+    use_pallas: Optional[bool] = None
 
     @property
     def hop_length(self) -> int:

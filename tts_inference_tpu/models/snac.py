@@ -304,7 +304,16 @@ def _mask_tail(x: jnp.ndarray, valid) -> jnp.ndarray:
     return jnp.where(t < valid[:, None, None], x, jnp.zeros_like(x))
 
 
-def _residual_unit(x, p, dilation, groups, valid=None):
+def _residual_unit(x, p, dilation, groups, valid=None, use_pallas=False):
+    t = x.shape[1]
+    if use_pallas and groups == x.shape[-1] and t % min(512, t) == 0:
+        # fused Pallas path: snake→dwconv→snake→pwconv→add in one VMEM pass
+        # (depthwise geometry only — the released SNAC's). Position-wise
+        # deterministic, so windowed streaming stays bit-exact vs batch as
+        # long as both run the same path.
+        from tts_inference_tpu.ops.pallas.vocoder import fused_residual_unit
+
+        return fused_residual_unit(x, p, dilation, valid)
     y = snake(x, p["alpha1"])
     pad = ((7 - 1) * dilation) // 2
     y = conv1d(y, p["conv1"]["w"], p["conv1"]["b"], dilation=dilation,
@@ -334,6 +343,8 @@ def decode_latent(
     """
     dp = params["decoder"]
     use_noise = cfg.noise if use_noise is None else use_noise
+    use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                  else jax.default_backend() == "tpu")
 
     z = _mask_tail(z, valid_latent)
     if cfg.depthwise:
@@ -367,7 +378,8 @@ def decode_latent(
             )
             x = _mask_tail(x + noise * h, valid)
         for dil, rp in zip((1, 3, 9), bp["res"]):
-            x = _residual_unit(x, rp, dil, groups, valid)
+            x = _residual_unit(x, rp, dil, groups, valid,
+                               use_pallas=use_pallas)
 
     x = snake(x, dp["out_alpha"])
     x = conv1d(x, dp["out_conv"]["w"], dp["out_conv"]["b"], padding=3)
