@@ -33,11 +33,11 @@ def build_runtime(smoke: bool, quantize: bool = False,
                   steps_per_call: int = 7, slots: int = 8,
                   kv_int8: bool = False, tp: int = 1, dp: int = 1,
                   prefix_cache: bool = False, paged_kv: bool = False,
-                  kv_pool_tokens=None):
+                  kv_pool_tokens=None, pallas_attention: bool = False):
     import dataclasses
 
     from tts_inference_tpu.config import (
-        Config, EngineConfig, MeshConfig, tiny_config,
+        Config, EngineConfig, MeshConfig, ModelConfig, tiny_config,
     )
     from tts_inference_tpu.runtime import Runtime
 
@@ -51,6 +51,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             cfg = dataclasses.replace(cfg, mesh=mesh_cfg)
         return Runtime.create(cfg, warmup=False)
     cfg = Config(
+        model=ModelConfig(use_pallas_attention=pallas_attention),
         engine=EngineConfig(
             max_input_len=128,
             max_output_len=2048,
@@ -126,7 +127,8 @@ def run_single(rt, tokens: int, first_lookahead=None) -> dict:
     return one_pass()    # warm
 
 
-def run_concurrent(rt, tokens: int, streams: int) -> dict:
+def run_concurrent(rt, tokens: int, streams: int,
+                   use_native: bool = False) -> dict:
 
     import numpy as np
 
@@ -135,7 +137,7 @@ def run_concurrent(rt, tokens: int, streams: int) -> dict:
 
     sched = Scheduler(
         rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
-        mesh=rt.mesh,
+        mesh=rt.mesh, use_native=use_native,
     )
     sched.start()
 
@@ -233,6 +235,9 @@ def main() -> int:
                     help="paged/blocked KV cache")
     ap.add_argument("--kv-pool-tokens", type=int, default=None,
                     help="paged KV pool size in tokens")
+    ap.add_argument("--pallas-attention", action="store_true",
+                    help="Pallas decode-attention kernel (with --paged-kv: "
+                         "the block-streaming paged kernel)")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (mesh tp axis)")
     ap.add_argument("--dp", type=int, default=1,
@@ -257,7 +262,7 @@ def main() -> int:
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
                        args.slots, args.kv_int8, args.tp, args.dp,
                        args.prefix_cache, args.paged_kv,
-                       args.kv_pool_tokens)
+                       args.kv_pool_tokens, args.pallas_attention)
     if args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {

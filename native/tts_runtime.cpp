@@ -35,6 +35,7 @@ struct Extractor {
   bool restart_on_sos = false;
   bool started = false;
   bool finished = false;
+  int64_t restarts = 0;
   std::vector<int32_t> codes;
 };
 
@@ -66,6 +67,7 @@ int ex_finished(void* h) { return static_cast<Extractor*>(h)->finished ? 1 : 0; 
 int64_t ex_total_codes(void* h) {
   return static_cast<int64_t>(static_cast<Extractor*>(h)->codes.size());
 }
+int64_t ex_restarts(void* h) { return static_cast<Extractor*>(h)->restarts; }
 
 // Feed `n` token ids; newly accepted codes are appended to the internal
 // buffer and also copied to `out` (capacity `out_cap`). Returns the number
@@ -81,7 +83,10 @@ int64_t ex_feed(void* h, const int32_t* tokens, int64_t n, int32_t* out,
       break;
     }
     if (t == kTokenSOS) {
-      if (e->started && e->restart_on_sos) e->codes.clear();
+      if (e->started && e->restart_on_sos) {
+        e->codes.clear();
+        ++e->restarts;
+      }
       e->started = true;
       continue;
     }

@@ -112,3 +112,55 @@ def test_ring_buffer_threaded():
         recv.extend(ring.read(8192))
     t.join()
     assert bytes(recv) == bytes(sent)
+
+
+def test_native_restart_count_matches_python(rng):
+    from tts_inference_tpu import protocol
+    from tts_inference_tpu.utils.native import NativeExtractor, available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    toks = [protocol.TOKEN_SOS, 128266 + 5, 128266 + 4096,
+            protocol.TOKEN_SOS, 128266 + 9, protocol.TOKEN_SOS,
+            128266 + 11, protocol.TOKEN_EOS]
+    py = protocol.TokenExtractor(restart_on_sos=True)
+    nat = NativeExtractor(restart_on_sos=True)
+    a, b = py.feed_many(toks), nat.feed_many(toks)
+    assert a == b
+    assert py.restart_count == nat.restart_count == 2
+    assert py.finished and nat.finished
+
+
+def test_scheduler_native_path_matches_python():
+    """--native-protocol: identical streams through the C++ extractor +
+    deinterleave (the scheduler hot-path wiring, VERDICT r1 item 8)."""
+    from tests.test_scheduler import drain, mk_req, run_until_idle
+    from tts_inference_tpu.engine.scheduler import Scheduler
+    from tts_inference_tpu.runtime import create_tiny_runtime
+    from tts_inference_tpu.utils.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rt = create_tiny_runtime(seed=0)
+
+    def run(use_native):
+        s = Scheduler(rt.engine.core.params, rt.config, rt.vocoder,
+                      rt.tokenizer, use_native=use_native)
+        reqs = [mk_req(f"native {i}", seed=90 + i) for i in range(3)]
+        for r in reqs:
+            s.submit(r)
+        run_until_idle(s)
+        s.drain_vocoder()
+        out = [drain(r) for r in reqs]
+        s.stop()
+        return out
+
+    native = run(True)
+    python = run(False)
+    for (pcm_a, m_a), (pcm_b, m_b) in zip(native, python):
+        assert m_a.tokens == m_b.tokens
+        assert pcm_a == pcm_b

@@ -198,6 +198,7 @@ def cmd_serve(args) -> int:
         scheduler = Scheduler(
             rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
             seed=args.seed, mesh=rt.mesh,
+            use_native=args.native_protocol,
         )
         if not args.no_warmup:
             print("warming scheduler graphs (first boot compiles; cached "
@@ -246,6 +247,9 @@ def main(argv=None) -> int:
     s.add_argument("--port", type=int, default=8000)
     s.add_argument("--multi-stream", action="store_true",
                    help="continuous-batching scheduler (concurrent streams)")
+    s.add_argument("--native-protocol", action="store_true",
+                   help="C++ token extractor + deinterleave in the "
+                        "scheduler hot path (native/tts_runtime.cpp)")
     s.set_defaults(fn=cmd_serve)
 
     dv = sub.add_parser("devices", help="device visibility check")

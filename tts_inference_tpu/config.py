@@ -114,9 +114,9 @@ class SnacConfig:
     noise: bool = True
     depthwise: bool = True
     dtype: str = "float32"
-    # Fused Pallas residual-unit kernel (ops/pallas/vocoder.py): one VMEM
-    # pass per unit instead of 4 HBM-materialized intermediates.
-    # None = auto (on for TPU, off elsewhere); True/False forces.
+    # Fused Pallas residual-unit kernel (ops/pallas/vocoder.py). Off by
+    # default: measured slower than XLA's own fusion on v5e (PERF.md) —
+    # kept as a parity-tested experimental path.
     use_pallas: Optional[bool] = None
 
     @property

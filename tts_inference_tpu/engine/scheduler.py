@@ -86,13 +86,22 @@ class _SlotState:
 
     def __init__(self, req: TTSRequest, scheduler: "Scheduler"):
         self.req = req
-        self.extractor = protocol.TokenExtractor(
-            restart_on_sos=(req.stream_cfg.extraction == "last_sos")
-        )
-        if req.force_speech:
-            self.extractor.started = True
+        if scheduler.use_native:
+            from tts_inference_tpu.utils.native import NativeExtractor
+
+            self.extractor = NativeExtractor(
+                restart_on_sos=(req.stream_cfg.extraction == "last_sos"),
+                started=req.force_speech,
+            )
+        else:
+            self.extractor = protocol.TokenExtractor(
+                restart_on_sos=(req.stream_cfg.extraction == "last_sos")
+            )
+            if req.force_speech:
+                self.extractor.started = True
         self.lookahead = LookaheadStreamingDecoder(
-            scheduler.vocoder, req.stream_cfg, req.noise_seed
+            scheduler.vocoder, req.stream_cfg, req.noise_seed,
+            use_native=scheduler.use_native,
         )
         self.metrics = StreamMetrics()
         self.produced = 0
@@ -174,11 +183,19 @@ class Scheduler:
         eos_id: int = protocol.TOKEN_EOS,
         seed: int = 0,
         mesh=None,
+        use_native: bool = False,
     ):
         self.config = config
         self.vocoder = vocoder
         self.tokenizer = tokenizer
         self.eos_id = eos_id
+        if use_native:
+            from tts_inference_tpu.utils import native as _native
+
+            if not _native.available():
+                raise RuntimeError("native runtime unavailable (build "
+                                   "native/libtts_runtime.so)")
+        self.use_native = use_native
         self.core = EngineCore(
             params, config.model, config.engine, eos_id=eos_id, seed=seed,
             mesh=mesh,

@@ -343,8 +343,11 @@ def decode_latent(
     """
     dp = params["decoder"]
     use_noise = cfg.noise if use_noise is None else use_noise
-    use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
-                  else jax.default_backend() == "tpu")
+    # Measured on a v5e (PERF.md): XLA's own fusion beats the hand-written
+    # kernel on this conv stack (0.86–0.94×) — pallas_call boundaries cost
+    # more than the saved HBM round trips. Default OFF; the kernel stays
+    # available (and parity-tested) for explicit experimentation.
+    use_pallas = bool(cfg.use_pallas)
 
     z = _mask_tail(z, valid_latent)
     if cfg.depthwise:

@@ -55,6 +55,8 @@ class LookaheadStreamingDecoder:
     decoder: SnacDecoder
     stream_cfg: StreamConfig = dataclasses.field(default_factory=StreamConfig)
     noise_seed: int = 0
+    # use the C++ deinterleave (native/tts_runtime.cpp) for window assembly
+    use_native: bool = False
 
     codes: List[int] = dataclasses.field(default_factory=list, init=False)
     samples_emitted: int = dataclasses.field(default=0, init=False)
@@ -111,6 +113,10 @@ class LookaheadStreamingDecoder:
                        : plan.w1 * protocol.FRAME_SIZE],
             dtype=np.int32,
         )
+        if self.use_native:
+            from tts_inference_tpu.utils.native import native_deinterleave
+
+            return native_deinterleave(flat)
         return protocol.deinterleave_frames(flat)
 
     def commit(self, plan: "WindowPlan") -> None:

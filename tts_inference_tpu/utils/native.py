@@ -57,6 +57,8 @@ def load() -> Optional[ctypes.CDLL]:
     lib.ex_finished.argtypes = [ctypes.c_void_p]
     lib.ex_total_codes.argtypes = [ctypes.c_void_p]
     lib.ex_total_codes.restype = ctypes.c_int64
+    lib.ex_restarts.argtypes = [ctypes.c_void_p]
+    lib.ex_restarts.restype = ctypes.c_int64
     lib.ex_feed.restype = ctypes.c_int64
     lib.ex_feed.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -128,6 +130,10 @@ class NativeExtractor:
     @property
     def total_codes(self) -> int:
         return int(self._lib.ex_total_codes(self._h))
+
+    @property
+    def restart_count(self) -> int:
+        return int(self._lib.ex_restarts(self._h))
 
     def feed_many(self, tokens) -> List[int]:
         toks = np.ascontiguousarray(tokens, dtype=np.int32)
