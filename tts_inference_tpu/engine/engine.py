@@ -735,10 +735,16 @@ class EngineCore:
         active,
         n: Optional[int] = None,
         reserve_extra: Optional[Sequence[int]] = None,
+        kv_window: Optional[int] = None,
     ):
         """Fused admission prefill + n decode steps, launched without
         waiting. Returns device arrays (toks (B, n+1) incl. the prefill
-        token in column 0, last_tok, active)."""
+        token in column 0, last_tok, active).
+
+        kv_window pins the decode attention window (the scheduler passes
+        max_seq so admission compiles ONE graph per prefill bucket instead
+        of one per live-neighbor length); None = smallest covering bucket.
+        """
         n = n or self.engine_cfg.decode_steps_per_call
         assert len(prompts) == len(slots)
         if self.engine_cfg.prefix_cache:
@@ -748,7 +754,7 @@ class EngineCore:
             for sl, b in bounds.items():
                 self._len_bounds[sl] = b
             needed = int(self._len_bounds.max(initial=0)) + n + 1
-            window = self.kv_bucket(needed)
+            window = kv_window or self.kv_bucket(needed)
             toks, tok, act, self.cache, self.sampling_state = \
                 self._prefill_decode_prefix(
                     n, window, self.params, jnp.asarray(tokens),
@@ -774,7 +780,7 @@ class EngineCore:
         for p, sl in zip(prompts, slots):
             self._len_bounds[sl] = min(len(p), bucket) + 1
         needed = int(self._len_bounds.max(initial=0)) + n + 1
-        window = self.kv_bucket(needed)
+        window = kv_window or self.kv_bucket(needed)
         toks, tok, act, self.cache, self.sampling_state = self._prefill_decode(
             n, window, self.params, jnp.asarray(tokens), jnp.asarray(lens),
             self.cache, self.sampling_state, sparams, jnp.asarray(mask),
@@ -843,8 +849,16 @@ class EngineCore:
             with t.phase(f"compile_prefill_{b}"):
                 self.prefill_slots([probe], [0], sp)
             with t.phase(f"compile_prefill_decode_{b}"):
+                # single-stream TTFA path: n-1 steps, smallest window
                 toks, tok, act = self.prefill_decode_launch(
                     [probe], [0], sp, zeros_tok, zeros_act, n=max(n - 1, 1)
+                )
+                np.asarray(toks)
+            with t.phase(f"compile_admission_{b}"):
+                # scheduler fused-admission path: n steps, max_seq window
+                toks, tok, act = self.prefill_decode_launch(
+                    [probe], [0], sp, zeros_tok, zeros_act, n=n,
+                    kv_window=self.max_seq,
                 )
                 np.asarray(toks)
         windows = sorted({self.kv_bucket(w) for w in

@@ -325,7 +325,16 @@ class Scheduler:
         )
         return protocol.format_prompt_ids(ids, force_speech=req.force_speech)
 
-    def _admit(self) -> None:
+    def _admit(self) -> bool:
+        """Admit pending requests; returns True if an admission launch was
+        pushed onto the pipeline.
+
+        Admission uses the FUSED prefill+decode graph: one dispatch prefills
+        the new slots, samples their first token AND runs a full decode call
+        for every active slot — one fewer host round-trip on the TTFA
+        critical path, and the first `decode_steps_per_call` tokens arrive a
+        dispatch earlier. Non-admitted slots' first output column repeats
+        their last token (already processed) — flagged via skip_first."""
         free = [i for i, s in enumerate(self.slots) if s is None]
         batch: List[tuple] = []
         while free:
@@ -360,7 +369,7 @@ class Scheduler:
                 slot, req, _ = batch.pop()   # defer the newest candidate
                 self._held.appendleft(req)
         if not batch:
-            return
+            return False
         prompts, slots_idx, seeds, extras = [], [], [], []
         for slot, req, prompt in batch:
             state = _SlotState(req, self)
@@ -380,28 +389,24 @@ class Scheduler:
             self._sp["allowed_max"][slot] = hi
             self._sp["frame_protocol"][slot] = sp.frame_protocol
         self.core.seed_slots(slots_idx, seeds)
-        first = self.core.prefill_slots(
-            prompts, slots_idx, self._sampling_params(),
-            reserve_extra=extras,
+        sp_arr = self._sampling_params()
+        toks, tok, act = self.core.prefill_decode_launch(
+            prompts, slots_idx, sp_arr, self._last_tok, self._active,
+            reserve_extra=extras, kv_window=self.core.max_seq,
         )
-        done_at_admit: List[int] = []
+        admitted = set(slots_idx)
+        # output column 0 repeats the last (already processed) token of
+        # slots that were active before this admission
+        skip_first = np.array([
+            self._active[s] and s not in admitted
+            for s in range(len(self.slots))
+        ])
         for slot, req, _ in batch:
-            self._last_tok[slot] = first[slot]
             self._active[slot] = True
-            state = self.slots[slot]
-            assert state is not None
-            if state.on_tokens([int(first[slot])], self.eos_id):
-                # finished on the prefill-sampled token (max_tokens=1 or
-                # immediate EOS): run the same flush+finish sequence step()
-                # uses, or the consumer never gets a done event and hangs
-                done_at_admit.append(slot)
-        if done_at_admit:
-            self._vocode_tick(done_at_admit)
-            for slot in done_at_admit:
-                state = self.slots[slot]
-                if state is not None:
-                    self._vocode_q.put(("finish", state))
-                self._release(slot)
+        self._inflight.append(
+            (toks, tok, act, sp_arr, self._launch_ids(), skip_first)
+        )
+        return True
 
     def _release(self, slot: int) -> None:
         self.slots[slot] = None
@@ -501,14 +506,14 @@ class Scheduler:
         while (self._inflight and self.pending.empty() and not self._held
                and self._active.any()
                and len(self._inflight) < self.pipeline_depth):
-            _, tok_d, act_d, sp_used, _ = self._inflight[-1]
+            _, tok_d, act_d, sp_used, _, _ = self._inflight[-1]
             nxt = self.core.decode_steps_launch(sp_used, tok_d, act_d)
             self._inflight.append(
-                (nxt[0], nxt[1], nxt[2], sp_used, self._launch_ids())
+                (nxt[0], nxt[1], nxt[2], sp_used, self._launch_ids(), None)
             )
         prev = self._inflight.popleft() if self._inflight else None
         if prev is not None:
-            toks_d, tok_d, act_d, sp_used, launch_ids = prev
+            toks_d, tok_d, act_d, sp_used, launch_ids, skip_first = prev
             toks = np.asarray(toks_d)        # overlaps the in-flight calls
             active = np.asarray(act_d)
             self._last_tok = np.array(tok_d)
@@ -518,8 +523,11 @@ class Scheduler:
                     continue
                 if not self._active[slot]:
                     continue
+                row = toks[slot]
+                if skip_first is not None and skip_first[slot]:
+                    row = row[1:]   # fused-admission repeat of last token
                 finished = state.on_tokens(
-                    [int(t) for t in toks[slot]], self.eos_id
+                    [int(t) for t in row], self.eos_id
                 )
                 # device-side EOS/max-seq freeze also ends the slot
                 if finished or not active[slot]:
@@ -535,16 +543,14 @@ class Scheduler:
             did = True
 
         if not self._inflight:
-            before = self.n_active
-            self._admit()
-            did = did or self.n_active != before
-            if self._active.any():
+            did = self._admit() or did
+            if not self._inflight and self._active.any():
                 sp = self._sampling_params()
                 nxt = self.core.decode_steps_launch(
                     sp, self._last_tok, self._active
                 )
                 self._inflight.append(
-                    (nxt[0], nxt[1], nxt[2], sp, self._launch_ids())
+                    (nxt[0], nxt[1], nxt[2], sp, self._launch_ids(), None)
                 )
                 did = True
         return did

@@ -382,10 +382,16 @@ def _layer(
         w = cap if (kv_window is None or kv_window >= cap) else kv_window
         assert w % blk_sz == 0, (w, blk_sz)  # forward() block-aligns it
         idx = table[:, : w // blk_sz]
-        if s == 1 and cfg.use_pallas_attention and ks is None:
+        use_kernel = cfg.use_pallas_attention or (
+            jax.default_backend() == "tpu"
+        )
+        if s == 1 and use_kernel and ks is None:
             # paged decode hot path: the Pallas kernel streams pool blocks
             # through VMEM once, driven by the block table — no gathered
-            # window temp in HBM (ops/pallas/paged_attention.py)
+            # window temp in HBM (ops/pallas/paged_attention.py). Default ON
+            # for TPU: measured 0.73 ms/layer vs 1.50 ms for the XLA gather
+            # at (B=8, W=512) — paged without the kernel is strictly worse
+            # (PERF.md); fp pools only, int8 pools keep the gather path.
             from tts_inference_tpu.ops.pallas.paged_attention import (
                 paged_decode_attention,
             )
