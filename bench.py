@@ -128,7 +128,8 @@ def run_single(rt, tokens: int, first_lookahead=None) -> dict:
 
 
 def run_concurrent(rt, tokens: int, streams: int,
-                   use_native: bool = False) -> dict:
+                   use_native: bool = False,
+                   pipeline_depth: int = 2) -> dict:
 
     import numpy as np
 
@@ -139,6 +140,7 @@ def run_concurrent(rt, tokens: int, streams: int,
         rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
         mesh=rt.mesh, use_native=use_native,
     )
+    sched.pipeline_depth = pipeline_depth
     sched.start()
 
     def one_pass() -> dict:
@@ -219,8 +221,11 @@ def main() -> int:
                     help="disable int8 weight-only quantization (the "
                          "default serving configuration)")
     ap.set_defaults(quantize=True)
-    ap.add_argument("--steps-per-call", type=int, default=7,
-                    help="decode tokens per device dispatch (tick size)")
+    ap.add_argument("--steps-per-call", type=int, default=14,
+                    help="decode tokens per device dispatch (tick size; "
+                         "14 measured best on v5e — PERF.md round 2)")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="in-flight decode launches (scheduler)")
     ap.add_argument("--slots", type=int, default=8,
                     help="continuous-batching slots (cache size scales)")
     ap.add_argument("--kv-int8", action="store_true",
@@ -238,6 +243,8 @@ def main() -> int:
     ap.add_argument("--pallas-attention", action="store_true",
                     help="Pallas decode-attention kernel (with --paged-kv: "
                          "the block-streaming paged kernel)")
+    ap.add_argument("--native-protocol", action="store_true",
+                    help="C++ extractor + deinterleave in the scheduler")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel degree (mesh tp axis)")
     ap.add_argument("--dp", type=int, default=1,
@@ -273,7 +280,8 @@ def main() -> int:
         }
     else:
         streams = 2 if args.smoke else args.streams
-        warm = run_concurrent(rt, args.tokens, streams)
+        warm = run_concurrent(rt, args.tokens, streams,
+                              args.native_protocol, args.pipeline_depth)
         result = {
             "metric": f"aggregate_streaming_rtf_{streams}streams",
             "value": round(warm["aggregate_rtf"], 4),
