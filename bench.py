@@ -33,11 +33,13 @@ def build_runtime(smoke: bool, quantize: bool = False,
                   steps_per_call: int = 7, slots: int = 8,
                   kv_int8: bool = False, tp: int = 1, dp: int = 1,
                   prefix_cache: bool = False, paged_kv: bool = False,
-                  kv_pool_tokens=None, pallas_attention: bool = False):
+                  kv_pool_tokens=None, pallas_attention: bool = False,
+                  first_lookahead=None):
     import dataclasses
 
     from tts_inference_tpu.config import (
-        Config, EngineConfig, MeshConfig, ModelConfig, tiny_config,
+        Config, EngineConfig, MeshConfig, ModelConfig, StreamConfig,
+        tiny_config,
     )
     from tts_inference_tpu.runtime import Runtime
 
@@ -63,6 +65,11 @@ def build_runtime(smoke: bool, quantize: bool = False,
             paged_kv=paged_kv,
             kv_pool_tokens=kv_pool_tokens,
         ),
+        # match the per-request stream settings so the TTFA first-burst
+        # graph gets registered/warmed for this exact configuration
+        stream=StreamConfig(frames_per_chunk=4, first_chunk_frames=1,
+                            lookahead_frames=3, left_context_frames=6,
+                            first_chunk_lookahead=first_lookahead),
         mesh=mesh_cfg,
     )
     return Runtime.create(cfg, warmup=False, quantize=quantize)
@@ -221,9 +228,9 @@ def main() -> int:
                     help="disable int8 weight-only quantization (the "
                          "default serving configuration)")
     ap.set_defaults(quantize=True)
-    ap.add_argument("--steps-per-call", type=int, default=14,
-                    help="decode tokens per device dispatch (tick size; "
-                         "14 measured best on v5e — PERF.md round 2)")
+    ap.add_argument("--steps-per-call", type=int, default=None,
+                    help="decode tokens per device dispatch (default: 14 "
+                         "concurrent / 7 single — PERF.md round 2)")
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="in-flight decode launches (scheduler)")
     ap.add_argument("--slots", type=int, default=8,
@@ -266,10 +273,13 @@ def main() -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    if args.steps_per_call is None:
+        args.steps_per_call = 7 if args.mode == "single" else 14
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
                        args.slots, args.kv_int8, args.tp, args.dp,
                        args.prefix_cache, args.paged_kv,
-                       args.kv_pool_tokens, args.pallas_attention)
+                       args.kv_pool_tokens, args.pallas_attention,
+                       args.first_lookahead)
     if args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead)
         result = {

@@ -828,9 +828,15 @@ class EngineCore:
         toks, tok, act = self.decode_steps_launch(sparams, last_tok, active, n)
         return np.asarray(toks), np.asarray(tok), np.asarray(act)
 
-    def warmup_graphs(self, timer: Optional["PhaseTimer"] = None) -> dict:
+    def warmup_graphs(self, timer: Optional["PhaseTimer"] = None,
+                      first_bursts: Sequence[int] = ()) -> dict:
         """Compile prefill (all buckets), fused prefill+decode, and decode
-        at every KV window bucket this engine can reach."""
+        at every KV window bucket this engine can reach.
+
+        `first_bursts`: extra fused-call step counts to compile — the
+        single-stream TTFA fast path sizes its first dispatch to cover the
+        whole first audio chunk (prefill + burst-1 decode steps in ONE
+        dispatch)."""
         from tts_inference_tpu.utils.timing import PhaseTimer as _PT
 
         t = timer or _PT()
@@ -839,6 +845,9 @@ class EngineCore:
         n = self.engine_cfg.decode_steps_per_call
         zeros_tok = np.zeros(self.batch, np.int32)
         zeros_act = np.zeros(self.batch, bool)
+        fused_ns = sorted({max(n - 1, 1)} | {
+            max(int(b) - 1, 1) for b in first_bursts if b
+        })
         # with prefix_cache, the first prefix_len tokens are cached and the
         # SUFFIX picks the bucket — pad the probe so every bucket compiles
         # (the first probe also compiles the miss path: build + pool_put)
@@ -848,12 +857,13 @@ class EngineCore:
             probe = [1] * (b + plen)  # suffix of length b lands in bucket b
             with t.phase(f"compile_prefill_{b}"):
                 self.prefill_slots([probe], [0], sp)
-            with t.phase(f"compile_prefill_decode_{b}"):
-                # single-stream TTFA path: n-1 steps, smallest window
-                toks, tok, act = self.prefill_decode_launch(
-                    [probe], [0], sp, zeros_tok, zeros_act, n=max(n - 1, 1)
-                )
-                np.asarray(toks)
+            for nn in fused_ns:
+                with t.phase(f"compile_prefill_decode_{b}_n{nn}"):
+                    # single-stream TTFA path: smallest window
+                    toks, tok, act = self.prefill_decode_launch(
+                        [probe], [0], sp, zeros_tok, zeros_act, n=nn
+                    )
+                    np.asarray(toks)
             with t.phase(f"compile_admission_{b}"):
                 # scheduler fused-admission path: n steps, max_seq window
                 toks, tok, act = self.prefill_decode_launch(
@@ -896,6 +906,7 @@ class GenerationEngine:
         eos_id: int = protocol.TOKEN_EOS,
         seed: int = 0,
         mesh=None,
+        first_bursts: Sequence[int] = (),
     ):
         self.engine_cfg = engine_cfg or EngineConfig()
         # single-stream engine always serves slot 0; under a dp>1 mesh the
@@ -906,6 +917,13 @@ class GenerationEngine:
             batch_size=batch, eos_id=eos_id, seed=seed, mesh=mesh,
         )
         self.eos_id = eos_id
+        # registered first-dispatch burst sizes (tokens): the TTFA fast
+        # path covers the whole first audio chunk in one fused dispatch.
+        # Only registered sizes are used (each is a compiled graph shape,
+        # warmed at boot); unregistered requests fall back to the n-chain.
+        self.first_bursts = sorted({
+            int(b) for b in first_bursts if b and int(b) > 1
+        })
 
     def warmup(self, prompt_len: int = 16) -> dict:
         """Compile every graph shape serving can hit — the 'engine build'
@@ -915,7 +933,7 @@ class GenerationEngine:
         prefill+decode, and decode at every KV window bucket. All results
         land in the persistent XLA cache (one-time cost per config)."""
         t = PhaseTimer()
-        info = self.core.warmup_graphs(t)
+        info = self.core.warmup_graphs(t, first_bursts=self.first_bursts)
         return {**info, **t.as_dict()}
 
     def stream(
@@ -924,6 +942,7 @@ class GenerationEngine:
         sampling: Optional[SamplingConfig] = None,
         *,
         steps_per_yield: Optional[int] = None,
+        first_burst: Optional[int] = None,
     ) -> Iterator[List[int]]:
         """Yield raw LM token chunks (including SOS/EOS) as they are decoded.
 
@@ -946,7 +965,13 @@ class GenerationEngine:
         # round-trip on the TTFA-critical path).
         import collections
 
-        n_first = max(0, min(n_default - 1, max_new - 1))
+        # TTFA fast path: if the caller's first-chunk token need matches a
+        # registered burst, the FIRST dispatch runs prefill + burst-1 decode
+        # steps — the whole first audio chunk arrives in one round trip
+        if first_burst in self.first_bursts and max_new >= first_burst:
+            n_first = first_burst - 1
+        else:
+            n_first = max(0, min(n_default - 1, max_new - 1))
         pending = collections.deque()
         pending.append(core.prefill_decode_launch(
             [list(prompt_ids)], [0], sp,

@@ -130,9 +130,19 @@ class Runtime:
 
             mesh = M.make_mesh(config.mesh)
 
+        # first-dispatch burst sizes for the TTFA fast path: tokens needed
+        # for the first stable chunk under the configured stream defaults
+        # (each is a fused graph shape compiled at warmup)
+        s = config.stream
+        bursts = {(s.first_chunk_frames + s.lookahead_frames)
+                  * protocol.FRAME_SIZE}
+        if s.first_chunk_lookahead is not None:
+            bursts.add((s.first_chunk_frames + s.first_chunk_lookahead)
+                       * protocol.FRAME_SIZE)
         engine = GenerationEngine(
             params, config.model, config.engine,
             eos_id=protocol.TOKEN_EOS, seed=seed, mesh=mesh,
+            first_bursts=sorted(bursts),
         )
         pipeline = TTSPipeline(engine, vocoder, tokenizer, config)
 

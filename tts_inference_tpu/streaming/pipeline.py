@@ -135,8 +135,20 @@ class TTSPipeline:
             metrics.audio_duration_ms += len(samples) / protocol.SAMPLE_RATE * 1e3
             yield AudioChunk(pcm16_bytes(samples), chunk_index, len(samples))
 
+        # first-dispatch burst: tokens needed for the first stable chunk
+        # (first_chunk_frames + effective lookahead) — when this size is
+        # registered/warmed on the engine, the whole first chunk's tokens
+        # arrive in ONE device round trip (TTFA fast path)
+        first_la = (scfg.first_chunk_lookahead
+                    if scfg.first_chunk_lookahead is not None
+                    else scfg.lookahead_frames)
+        first_burst = (scfg.first_chunk_frames + first_la) * \
+            protocol.FRAME_SIZE
+
         restarts_seen = 0
-        for token_chunk in self.engine.stream(prompt, sampling):
+        for token_chunk in self.engine.stream(
+            prompt, sampling, first_burst=first_burst,
+        ):
             metrics.ttft_ms = metrics.ttft_ms or timer.mark("ttft_ms")
             metrics.tokens += len(token_chunk)
             new_codes = extractor.feed_many(token_chunk)
