@@ -106,3 +106,33 @@ def test_analyze_cli_stdin(tmp_path, rng):
     from tts_inference_tpu.tools.analyze_tokens import main
 
     assert main(["--tokens-json", str(f)]) == 0
+
+
+def test_aot_compile_spawn(tmp_path):
+    """Fire-and-forget engine build (reference: spawn_build.py
+    `build_engine.spawn()`): the parent returns immediately; the detached
+    child writes build_info.json."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time
+
+    bi = tmp_path / "bi.json"
+    log = tmp_path / "spawn.log"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-m", "tts_inference_tpu.cli", "aot-compile",
+         "--tiny", "--cpu", "--no-warmup", "--spawn",
+         "--spawn-log", str(log), "--build-info", str(bi)],
+        capture_output=True, text=True, timeout=60, env=env,
+        cwd="/root/repo",
+    )
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["spawned_pid"] > 0
+    deadline = time.time() + 180
+    while time.time() < deadline and not bi.exists():
+        time.sleep(1)
+    assert bi.exists(), log.read_text()[-500:] if log.exists() else "no log"
+    meta = json.loads(bi.read_text())
+    assert meta["framework"] == "tts_inference_tpu"

@@ -162,6 +162,21 @@ def cmd_dump_tokens(args) -> int:
 
 
 def cmd_aot_compile(args) -> int:
+    if args.spawn:
+        # fire-and-forget build (reference: hindi_canopy/spawn_build.py
+        # `build_engine.spawn()`): detach a child that does the compile
+        # into the persistent XLA cache; this process returns immediately
+        import subprocess
+
+        argv = [a for a in sys.argv[1:] if a != "--spawn"]
+        with open(args.spawn_log, "ab") as log:
+            proc = subprocess.Popen(
+                [sys.executable, "-m", "tts_inference_tpu.cli", *argv],
+                stdout=log, stderr=subprocess.STDOUT,
+                start_new_session=True,
+            )
+        print(json.dumps({"spawned_pid": proc.pid, "log": args.spawn_log}))
+        return 0
     rt = _build_runtime(args)
     rt.write_build_info(args.build_info)
     print(json.dumps({"build_info": args.build_info,
@@ -239,6 +254,10 @@ def main(argv=None) -> int:
     a = sub.add_parser("aot-compile", help="warm the XLA compile cache")
     _add_runtime_args(a)
     a.add_argument("--build-info", default="build_info.json")
+    a.add_argument("--spawn", action="store_true",
+                   help="fire-and-forget: detach the build and return "
+                        "(reference: spawn_build.py)")
+    a.add_argument("--spawn-log", default="aot_compile.log")
     a.set_defaults(fn=cmd_aot_compile)
 
     s = sub.add_parser("serve", help="HTTP/WS streaming server")

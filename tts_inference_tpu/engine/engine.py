@@ -864,13 +864,15 @@ class EngineCore:
                         [probe], [0], sp, zeros_tok, zeros_act, n=nn
                     )
                     np.asarray(toks)
-            with t.phase(f"compile_admission_{b}"):
-                # scheduler fused-admission path: n steps, max_seq window
-                toks, tok, act = self.prefill_decode_launch(
-                    [probe], [0], sp, zeros_tok, zeros_act, n=n,
-                    kv_window=self.max_seq,
-                )
-                np.asarray(toks)
+            for nn in sorted({n, 2 * n}):
+                with t.phase(f"compile_admission_{b}_n{nn}"):
+                    # scheduler fused-admission path: max_seq window
+                    # (admission_steps defaults to 2n — see Scheduler)
+                    toks, tok, act = self.prefill_decode_launch(
+                        [probe], [0], sp, zeros_tok, zeros_act, n=nn,
+                        kv_window=self.max_seq,
+                    )
+                    np.asarray(toks)
         windows = sorted({self.kv_bucket(w) for w in
                           list(self.engine_cfg.kv_buckets) + [self.max_seq]
                           if w <= self.max_seq} | {self.kv_bucket(1)})

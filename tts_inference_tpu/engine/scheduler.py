@@ -234,6 +234,10 @@ class Scheduler:
         import collections
 
         self.pipeline_depth = 2
+        # admission runs extra decode steps in its single fused dispatch so
+        # a fresh stream's first chunk tokens (~28) arrive one round-trip
+        # sooner (TTFA p95 lever; warmed in EngineCore.warmup_graphs)
+        self.admission_steps = 2 * config.engine.decode_steps_per_call
         self._inflight = collections.deque()
         # requests that fit a free slot but not the paged-KV pool wait here
         # (FIFO ahead of `pending`) until blocks free up
@@ -393,6 +397,7 @@ class Scheduler:
         toks, tok, act = self.core.prefill_decode_launch(
             prompts, slots_idx, sp_arr, self._last_tok, self._active,
             reserve_extra=extras, kv_window=self.core.max_seq,
+            n=self.admission_steps,
         )
         admitted = set(slots_idx)
         # output column 0 repeats the last (already processed) token of

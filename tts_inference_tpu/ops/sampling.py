@@ -196,7 +196,16 @@ def sample(
 
     if nucleus_cap and nucleus_cap < vocab:
         cap = nucleus_cap
-        vals, idx = jax.lax.top_k(scaled, cap)            # (B, cap) desc
+        if jax.default_backend() == "tpu":
+            # TPU: approx_max_k is 2.2× faster than exact top_k at B=8
+            # (1.44 → 0.67 ms over the 157k vocab, measured — PERF.md).
+            # ~0.95 recall of the true top-256; with top_p 0.95 the real
+            # nucleus is ≪ 256, so missed tail candidates are noise. CPU
+            # keeps the exact path (deterministic cross-sharding tests).
+            vals, idx = jax.lax.approx_max_k(scaled, cap)
+            # approx results are value-sorted descending like top_k
+        else:
+            vals, idx = jax.lax.top_k(scaled, cap)        # (B, cap) desc
         pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
         k_eff = jnp.where(params.top_k <= 0, cap, params.top_k)
         vals = jnp.where(pos < k_eff[:, None], vals, NEG_INF)
