@@ -98,7 +98,7 @@ def stream_cfg(first_lookahead=None):
 TEXT = "The quick brown fox jumps over the lazy dog near the river bank."
 
 
-def run_single(rt, tokens: int, first_lookahead=None) -> dict:
+def run_single(rt, tokens: int, first_lookahead=None, iters: int = 1) -> dict:
     import numpy as np
 
     from tts_inference_tpu import protocol as P
@@ -131,12 +131,22 @@ def run_single(rt, tokens: int, first_lookahead=None) -> dict:
         }
 
     one_pass()           # cold (compiles)
-    return one_pass()    # warm
+    passes = [one_pass() for _ in range(max(1, iters))]
+    if len(passes) == 1:
+        return passes[0]
+    # median over warm passes (tunnel dispatch jitter is ±tens of ms);
+    # gaps report the worst pass, TTFA adds a p95 across passes
+    med = {k: float(np.median([p[k] for p in passes])) for k in passes[0]}
+    med["max_gap_ms"] = max(p["max_gap_ms"] for p in passes)
+    med["ttfa_p95_ms"] = float(np.percentile(
+        [p["ttfa_ms"] for p in passes], 95))
+    med["iters"] = len(passes)
+    return med
 
 
 def run_concurrent(rt, tokens: int, streams: int,
                    use_native: bool = False,
-                   pipeline_depth: int = 2) -> dict:
+                   pipeline_depth: int = 2, iters: int = 1) -> dict:
 
     import numpy as np
 
@@ -211,10 +221,17 @@ def run_concurrent(rt, tokens: int, streams: int,
 
     try:
         one_pass()           # cold (compiles)
-        warm = one_pass()    # warm
+        passes = [one_pass() for _ in range(max(1, iters))]
     finally:
         sched.stop()
-    return warm
+    if len(passes) == 1:
+        return passes[0]
+    med = {k: float(np.median([p[k] for p in passes]))
+           for k in passes[0] if k != "streams"}
+    med["worst_gap_ms"] = max(p["worst_gap_ms"] for p in passes)
+    med["streams"] = streams
+    med["iters"] = len(passes)
+    return med
 
 
 def main() -> int:
@@ -259,6 +276,8 @@ def main() -> int:
     ap.add_argument("--virtual-devices", type=int, default=None,
                     help="force N virtual CPU devices (sharding without "
                          "hardware; implies CPU platform)")
+    ap.add_argument("--iters", type=int, default=1,
+                    help="warm passes to median over (tunnel jitter)")
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
     if args.virtual_devices:
@@ -281,7 +300,7 @@ def main() -> int:
                        args.kv_pool_tokens, args.pallas_attention,
                        args.first_lookahead)
     if args.mode == "single":
-        warm = run_single(rt, args.tokens, args.first_lookahead)
+        warm = run_single(rt, args.tokens, args.first_lookahead, args.iters)
         result = {
             "metric": "warm_streaming_rtf",
             "value": round(warm["rtf"], 4),
@@ -291,7 +310,8 @@ def main() -> int:
     else:
         streams = 2 if args.smoke else args.streams
         warm = run_concurrent(rt, args.tokens, streams,
-                              args.native_protocol, args.pipeline_depth)
+                              args.native_protocol, args.pipeline_depth,
+                              args.iters)
         result = {
             "metric": f"aggregate_streaming_rtf_{streams}streams",
             "value": round(warm["aggregate_rtf"], 4),
