@@ -86,8 +86,10 @@ def main():
     cache = core.cache
     sstate = core.sampling_state
 
-    @jax.jit
-    def step_full(cache, sstate, tok):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=())
+    def step_full(params, cache, sstate, tok):
         logits, cache = llama.decode_one(
             params, cfg, tok, cache, jnp.ones((core.batch,), bool),
             kv_window=window)
@@ -95,30 +97,48 @@ def main():
         return cache, sstate, new_tok
 
     @jax.jit
-    def step_greedy(cache, tok):
+    def step_greedy(params, cache, tok):
         logits, cache = llama.decode_one(
             params, cfg, tok, cache, jnp.ones((core.batch,), bool),
             kv_window=window)
         return cache, jnp.argmax(logits, -1).astype(jnp.int32)
 
     @jax.jit
-    def step_nohead(cache, tok):
+    def step_nohead(params, cache, tok):
         hidden, cache = llama.forward(
             params, cfg, tok[:, None], cache,
             cache.lengths, jnp.ones((core.batch,), jnp.int32),
             kv_window=window)
         return cache, hidden.sum().astype(jnp.int32)[None]
 
+    @jax.jit
+    def scan_plain(params, cache, tok):
+        """n=27 scan with NO sampling (greedy feedback) — isolates whether
+        the engine scan's 15 ms/step comes from the model or the sampler."""
+        def body(carry, _):
+            cache, tok = carry
+            logits, cache = llama.decode_one(
+                params, cfg, tok, cache, jnp.ones((core.batch,), bool),
+                kv_window=window)
+            t2 = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (cache, t2), t2
+        (cache, tok), toks = jax.lax.scan(body, (cache, tok), None, length=N)
+        return toks
+
     t = jnp.asarray(tok0)
-    ms_full, _ = timed(lambda: step_full(cache, sstate, t)[2], iters=30)
+    ms_full, _ = timed(lambda: step_full(params, cache, sstate, t)[2],
+                       iters=30)
     print(f"single step, full sampling chain:      {ms_full:8.2f} ms",
           flush=True)
-    ms_gr, _ = timed(lambda: step_greedy(cache, t)[1], iters=30)
+    ms_gr, _ = timed(lambda: step_greedy(params, cache, t)[1], iters=30)
     print(f"single step, greedy argmax:            {ms_gr:8.2f} ms",
           flush=True)
-    ms_nh, _ = timed(lambda: step_nohead(cache, t)[1], iters=30)
+    ms_nh, _ = timed(lambda: step_nohead(params, cache, t)[1], iters=30)
     print(f"single step, no LM head:               {ms_nh:8.2f} ms",
           flush=True)
+    ms_sp, _ = timed(lambda: scan_plain(params, cache, t), iters=10)
+    print(f"scan n={N} greedy (no sampler):         {ms_sp:8.2f} ms"
+          f"  -> {ms_sp / N:6.2f} ms/step", flush=True)
 
     # -- first-chunk vocoder round trip ---------------------------------------
     codes = np.arange(28, dtype=np.int32) % 4096 + np.tile(
