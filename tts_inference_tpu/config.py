@@ -192,6 +192,15 @@ class EngineConfig:
     paged_kv: bool = False
     kv_block_size: int = 128
     kv_pool_tokens: Optional[int] = None
+    # Sliced LM head: compute decode logits only for rows ≥
+    # protocol.HEAD_SLICE_BASE (specials + audio vocab — everything a TTS
+    # generation can legitimately emit; the reference's extractor DROPS
+    # sub-audio tokens after the fact, tensorrt_tts/inference.py:54-93).
+    # Skips the 128k plain-text head rows: ~394 MB less HBM per decode step
+    # at int8 and a 5.4× smaller sampling chain. Bit-identical under
+    # structured decoding (token_range / frame_protocol); otherwise text
+    # rows become unsampleable (a protocol-correctness guard, not a loss).
+    sliced_head: bool = True
     # Prefix caching (reference: vLLM enable_prefix_caching=True,
     # modal_audio_stream.py:232): KV for repeated prompt prefixes — the
     # shared "{voice}: " header, or whole repeated prompts — is computed

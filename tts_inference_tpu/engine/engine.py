@@ -76,6 +76,17 @@ class EngineCore:
         self.batch = batch_size or engine_cfg.max_batch_size
         self.max_seq = engine_cfg.max_seq_len
         self.mesh = mesh
+        # Sliced LM head (protocol.HEAD_SLICE_BASE): every legitimately
+        # emittable token (specials + audio vocab) has id ≥ 128000, so the
+        # decode head skips the 128k plain-text rows — ~394 MB less HBM per
+        # step at int8 and a 5.4× smaller sampling chain. Only engages when
+        # the model vocab actually covers the Orpheus protocol range.
+        self.logits_base = (
+            protocol.HEAD_SLICE_BASE
+            if engine_cfg.sliced_head
+            and model_cfg.vocab_size > protocol.TOKEN_AUDIO_BASE
+            else 0
+        )
 
         if engine_cfg.paged_kv:
             if engine_cfg.prefix_cache:
@@ -177,13 +188,13 @@ class EngineCore:
         #   decode:  (n_steps, kv_window, params, cache, sstate, sparams,
         #             last_tok, active)
         self._prefill = jax.jit(
-            partial(self._prefill_impl, model_cfg),
+            partial(self._prefill_impl, model_cfg, self.logits_base),
             static_argnums=(0,),
             donate_argnums=(4, 5),
             **prefill_kw,
         )
         self._decode = jax.jit(
-            partial(self._decode_impl, model_cfg, eos_id),
+            partial(self._decode_impl, model_cfg, self.logits_base, eos_id),
             static_argnums=(0, 1),
             donate_argnums=(3, 4),
             **decode_kw,
@@ -191,7 +202,8 @@ class EngineCore:
         # fused: (n_steps, kv_window, params, tokens, lens, cache, sstate,
         #         sparams, slot_mask, last_tok, active)
         self._prefill_decode = jax.jit(
-            partial(self._prefill_decode_impl, model_cfg, eos_id),
+            partial(self._prefill_decode_impl, model_cfg, self.logits_base,
+                    eos_id),
             static_argnums=(0, 1),
             donate_argnums=(5, 6),
             **pd_kw,
@@ -265,14 +277,16 @@ class EngineCore:
             # (params, tokens, lens, ptoks, plens, pidx, pools, cache,
             #  sstate, sparams, slot_mask)
             self._prefill_prefix = jax.jit(
-                partial(self._prefill_prefix_impl, model_cfg),
+                partial(self._prefill_prefix_impl, model_cfg,
+                        self.logits_base),
                 donate_argnums=(7, 8),
                 **ppfx_kw,
             )
             # (n_steps, kv_window, params, tokens, lens, ptoks, plens, pidx,
             #  pools, cache, sstate, sparams, slot_mask, last_tok, active)
             self._prefill_decode_prefix = jax.jit(
-                partial(self._prefill_decode_prefix_impl, model_cfg, eos_id),
+                partial(self._prefill_decode_prefix_impl, model_cfg,
+                        self.logits_base, eos_id),
                 static_argnums=(0, 1),
                 donate_argnums=(9, 10),
                 **pdpfx_kw,
@@ -344,8 +358,8 @@ class EngineCore:
 
     @staticmethod
     def _prefix_prefill_core(
-        model_cfg, params, tokens, lens, ptoks, plens, pidx, pools, cache,
-        sstate, sparams, slot_mask,
+        model_cfg, logits_base, params, tokens, lens, ptoks, plens, pidx,
+        pools, cache, sstate, sparams, slot_mask,
     ):
         """Shared prefix-prefill: inject cached prefix KV, forward the
         suffix at write_pos=plens, sample the first token. The attention
@@ -361,43 +375,43 @@ class EngineCore:
         b = tokens.shape[0]
         last = jnp.maximum(seg - 1, 0)
         logits = llama.compute_logits(
-            params, model_cfg, hidden[jnp.arange(b), last]
+            params, model_cfg, hidden[jnp.arange(b), last], logits_base
         )
         marked = S.mark_prompt(
             sstate, ptoks, jnp.where(inject, plens, jnp.zeros_like(plens))
         )
         marked = S.mark_prompt(marked, tokens, seg)
-        tok, new_state = S.sample(logits, sparams, marked)
+        tok, new_state = S.sample(logits, sparams, marked, base=logits_base)
         sstate = EngineCore._restore_rows(sstate, new_state, slot_mask)
         return tok, cache, sstate
 
     @staticmethod
     def _prefill_prefix_impl(
-        model_cfg, params, tokens, lens, ptoks, plens, pidx, pools, cache,
-        sstate, sparams, slot_mask,
+        model_cfg, logits_base, params, tokens, lens, ptoks, plens, pidx,
+        pools, cache, sstate, sparams, slot_mask,
     ):
         return EngineCore._prefix_prefill_core(
-            model_cfg, params, tokens, lens, ptoks, plens, pidx, pools,
-            cache, sstate, sparams, slot_mask,
+            model_cfg, logits_base, params, tokens, lens, ptoks, plens,
+            pidx, pools, cache, sstate, sparams, slot_mask,
         )
 
     @staticmethod
     def _prefill_decode_prefix_impl(
-        model_cfg, eos_id, n_steps, kv_window, params, tokens, lens, ptoks,
-        plens, pidx, pools, cache, sstate, sparams, slot_mask, last_tok,
-        active,
+        model_cfg, logits_base, eos_id, n_steps, kv_window, params, tokens,
+        lens, ptoks, plens, pidx, pools, cache, sstate, sparams, slot_mask,
+        last_tok, active,
     ):
         """Fused prefix-prefill + n decode steps (one dispatch, same TTFA
         saving as _prefill_decode_impl)."""
         ptok, cache, sstate = EngineCore._prefix_prefill_core(
-            model_cfg, params, tokens, lens, ptoks, plens, pidx, pools,
-            cache, sstate, sparams, slot_mask,
+            model_cfg, logits_base, params, tokens, lens, ptoks, plens,
+            pidx, pools, cache, sstate, sparams, slot_mask,
         )
         tok0 = jnp.where(slot_mask, ptok, last_tok)
         active0 = jnp.where(slot_mask, ptok != eos_id, active)
         toks, tok, active, cache, sstate = EngineCore._decode_impl(
-            model_cfg, eos_id, n_steps, kv_window, params, cache, sstate,
-            sparams, tok0, active0,
+            model_cfg, logits_base, eos_id, n_steps, kv_window, params,
+            cache, sstate, sparams, tok0, active0,
         )
         return (
             jnp.concatenate([tok0[:, None], toks], axis=1),
@@ -406,8 +420,8 @@ class EngineCore:
 
     @staticmethod
     def _prefill_impl(
-        model_cfg, kv_window, params, tokens, lens, cache, sstate, sparams,
-        slot_mask
+        model_cfg, logits_base, kv_window, params, tokens, lens, cache,
+        sstate, sparams, slot_mask
     ):
         """Prefill `tokens` (B, S bucket) for slots where slot_mask; sample
         the first generated token. Returns (tok, cache, sstate).
@@ -419,10 +433,11 @@ class EngineCore:
         """
         seg = jnp.where(slot_mask, lens, 0)
         logits, cache = llama.prefill(
-            params, model_cfg, tokens, seg, cache, kv_window=kv_window
+            params, model_cfg, tokens, seg, cache, kv_window=kv_window,
+            logits_base=logits_base,
         )
         marked = S.mark_prompt(sstate, tokens, seg)
-        tok, new_state = S.sample(logits, sparams, marked)
+        tok, new_state = S.sample(logits, sparams, marked, base=logits_base)
         sstate = S.SamplingState(
             presence=jnp.where(
                 slot_mask[:, None], new_state.presence, sstate.presence
@@ -439,8 +454,8 @@ class EngineCore:
 
     @staticmethod
     def _prefill_decode_impl(
-        model_cfg, eos_id, n_steps, kv_window, params, tokens, lens, cache,
-        sstate, sparams, slot_mask, last_tok, active,
+        model_cfg, logits_base, eos_id, n_steps, kv_window, params, tokens,
+        lens, cache, sstate, sparams, slot_mask, last_tok, active,
     ):
         """Fused prefill + n decode steps in ONE dispatch.
 
@@ -454,10 +469,11 @@ class EngineCore:
         """
         seg = jnp.where(slot_mask, lens, 0)
         logits, cache = llama.prefill(
-            params, model_cfg, tokens, seg, cache, kv_window=tokens.shape[1]
+            params, model_cfg, tokens, seg, cache,
+            kv_window=tokens.shape[1], logits_base=logits_base,
         )
         marked = S.mark_prompt(sstate, tokens, seg)
-        ptok, new_state = S.sample(logits, sparams, marked)
+        ptok, new_state = S.sample(logits, sparams, marked, base=logits_base)
         sstate = S.SamplingState(
             presence=jnp.where(
                 slot_mask[:, None], new_state.presence, sstate.presence
@@ -473,8 +489,8 @@ class EngineCore:
         tok0 = jnp.where(slot_mask, ptok, last_tok)
         active0 = jnp.where(slot_mask, ptok != eos_id, active)
         toks, tok, active, cache, sstate = EngineCore._decode_impl(
-            model_cfg, eos_id, n_steps, kv_window, params, cache, sstate,
-            sparams, tok0, active0,
+            model_cfg, logits_base, eos_id, n_steps, kv_window, params,
+            cache, sstate, sparams, tok0, active0,
         )
         return (
             jnp.concatenate([tok0[:, None], toks], axis=1),
@@ -483,8 +499,8 @@ class EngineCore:
 
     @staticmethod
     def _decode_impl(
-        model_cfg, eos_id, n_steps, kv_window, params, cache, sstate,
-        sparams, last_tok, active,
+        model_cfg, logits_base, eos_id, n_steps, kv_window, params, cache,
+        sstate, sparams, last_tok, active,
     ):
         """n_steps decode steps under lax.scan. Emits (B, n) tokens."""
         max_seq = cache.max_seq
@@ -492,9 +508,11 @@ class EngineCore:
         def body(carry, _):
             cache, sstate, tok, active = carry
             logits, cache = llama.decode_one(
-                params, model_cfg, tok, cache, active, kv_window=kv_window
+                params, model_cfg, tok, cache, active, kv_window=kv_window,
+                logits_base=logits_base,
             )
-            new_tok, sstate = S.sample(logits, sparams, sstate)
+            new_tok, sstate = S.sample(logits, sparams, sstate,
+                                       base=logits_base)
             new_tok = jnp.where(active, new_tok, eos_id)
             active = active & (new_tok != eos_id) & (cache.lengths < max_seq - 1)
             return (cache, sstate, new_tok, active), new_tok
@@ -945,12 +963,19 @@ class GenerationEngine:
         *,
         steps_per_yield: Optional[int] = None,
         first_burst: Optional[int] = None,
+        on_first_tokens: Optional[Callable] = None,
     ) -> Iterator[List[int]]:
         """Yield raw LM token chunks (including SOS/EOS) as they are decoded.
 
         The SOS/EOS gating belongs to protocol.TokenExtractor downstream —
         same separation as the reference's generate_audio_tokens →
-        stream_audio split."""
+        stream_audio split.
+
+        ``on_first_tokens`` (TTFA fused-vocode hook): called once with the
+        first dispatch's DEVICE token buffer (B, n+1) right after launch —
+        the pipeline chains the first chunk's vocoder decode onto it
+        device-to-device, so the first PCM needs no extra host round trip.
+        """
         sampling = sampling or SamplingConfig()
         core = self.core
         sp = S.SamplingParams.from_config(sampling, core.batch)
@@ -980,6 +1005,8 @@ class GenerationEngine:
             np.zeros(core.batch, np.int32), np.zeros(core.batch, bool),
             n=max(n_first, 1), reserve_extra=[max_new],
         ))
+        if on_first_tokens is not None:
+            on_first_tokens(pending[0][0])
         produced = 0
         scheduled = pending[0][0].shape[1]
         while pending:

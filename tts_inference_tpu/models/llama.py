@@ -516,17 +516,22 @@ def forward(
     return x, new_cache
 
 
-def compute_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray
-                   ) -> jnp.ndarray:
-    """Final-norm hidden (…, H) → fp32 logits (…, V).
+def compute_logits(params: Params, cfg: ModelConfig, hidden: jnp.ndarray,
+                   base: int = 0) -> jnp.ndarray:
+    """Final-norm hidden (…, H) → fp32 logits (…, V - base).
 
     Kept separate from forward() so prefill can project only the last valid
     position per slot instead of materializing (B, S, V) — at the Orpheus
     vocab (156,940) a full 512-bucket prefill logits tensor would be 320 MB.
+
+    ``base`` (static, default 0 = full vocab) computes only head rows
+    [base, V): the sliced-head decode path (protocol.HEAD_SLICE_BASE skips
+    the 128k plain-text rows a TTS generation never emits — ~394 MB less
+    HBM per step at int8). Logit i corresponds to token id base + i.
     """
     if cfg.tie_word_embeddings or "lm_head" not in params:
-        return tied_logits(hidden, params["embed"])
-    return head_logits(hidden, params["lm_head"])
+        return tied_logits(hidden, params["embed"], base)
+    return head_logits(hidden, params["lm_head"], base)
 
 
 def prefill(
@@ -536,6 +541,7 @@ def prefill(
     prompt_lens: jnp.ndarray,  # (B,)
     cache: KVCache,
     kv_window: Optional[int] = None,
+    logits_base: int = 0,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Prefill the cache; returns (last-valid-position logits (B, V), cache).
 
@@ -550,7 +556,7 @@ def prefill(
     last = jnp.maximum(prompt_lens - 1, 0)
     b = tokens.shape[0]
     last_hidden = hidden[jnp.arange(b), last]          # (B, H)
-    return compute_logits(params, cfg, last_hidden), cache
+    return compute_logits(params, cfg, last_hidden, logits_base), cache
 
 
 def decode_one(
@@ -560,6 +566,7 @@ def decode_one(
     cache: KVCache,
     active: Optional[jnp.ndarray] = None,
     kv_window: Optional[int] = None,
+    logits_base: int = 0,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One decode step for every slot; returns (logits (B, V), new cache).
 
@@ -572,4 +579,4 @@ def decode_one(
         params, cfg, token[:, None], cache, cache.lengths, seg,
         kv_window=kv_window,
     )
-    return compute_logits(params, cfg, hidden[:, 0]), cache
+    return compute_logits(params, cfg, hidden[:, 0], logits_base), cache

@@ -90,26 +90,33 @@ def embed_rows(emb, tokens: jnp.ndarray, dtype) -> jnp.ndarray:
     return emb[tokens].astype(dtype)
 
 
-def tied_logits(hidden: jnp.ndarray, emb) -> jnp.ndarray:
-    """hidden (…, H) × embedding (V, H)ᵀ → fp32 logits (…, V)."""
+def tied_logits(hidden: jnp.ndarray, emb, base: int = 0) -> jnp.ndarray:
+    """hidden (…, H) × embedding (V, H)ᵀ → fp32 logits (…, V - base).
+
+    ``base`` (static) drops the head's first `base` rows from the matmul —
+    a lazy slice of the parameter, so XLA never reads the skipped rows from
+    HBM (the sliced-head decode path, protocol.HEAD_SLICE_BASE).
+    """
     if isinstance(emb, QuantEmbed):
         logits = jnp.einsum(
-            "...h,vh->...v", hidden, emb.w_i8.astype(hidden.dtype),
+            "...h,vh->...v", hidden, emb.w_i8[base:].astype(hidden.dtype),
             preferred_element_type=jnp.float32,
         )
-        return logits * emb.scale
+        return logits * emb.scale[base:]
     return jnp.einsum(
-        "...h,vh->...v", hidden, emb, preferred_element_type=jnp.float32
+        "...h,vh->...v", hidden, emb[base:],
+        preferred_element_type=jnp.float32,
     )
 
 
-def head_logits(hidden: jnp.ndarray, w) -> jnp.ndarray:
+def head_logits(hidden: jnp.ndarray, w, base: int = 0) -> jnp.ndarray:
     if isinstance(w, QuantLinear):
         logits = jnp.einsum(
-            "...h,hv->...v", hidden, w.w_i8.astype(hidden.dtype),
+            "...h,hv->...v", hidden, w.w_i8[:, base:].astype(hidden.dtype),
             preferred_element_type=jnp.float32,
         )
-        return logits * w.scale
+        return logits * w.scale[base:]
     return jnp.einsum(
-        "...h,hv->...v", hidden, w, preferred_element_type=jnp.float32
+        "...h,hv->...v", hidden, w[:, base:],
+        preferred_element_type=jnp.float32,
     )

@@ -150,6 +150,7 @@ def sample(
     state: SamplingState,
     *,
     nucleus_cap: int = 256,
+    base: int = 0,
 ) -> Tuple[jnp.ndarray, SamplingState]:
     """Full sampling chain; returns (tokens (B,) int32, updated state).
 
@@ -158,10 +159,16 @@ def sample(
     path ~0; with a trained model at top_p 0.95 the nucleus is far smaller
     than 256, so the truncation is inconsequential. 0 disables the cap
     (exact full-vocab sort path).
+
+    ``base`` (static): logits column i is the logit of token id base + i —
+    the sliced-head decode path (protocol.HEAD_SLICE_BASE), where the LM
+    head skips the plain-text rows. All masks/penalties index in absolute
+    token ids and returned tokens are absolute; with any structured range
+    inside the slice the result is bit-identical to the full head.
     """
     vocab = logits.shape[-1]
     rng_ok = params.allowed_max > 0
-    ids = jnp.arange(vocab, dtype=jnp.int32)[None, :]
+    ids = base + jnp.arange(vocab, dtype=jnp.int32)[None, :]
     in_range = (ids >= params.allowed_min[:, None]) & (
         ids < params.allowed_max[:, None]
     )
@@ -173,9 +180,10 @@ def sample(
     # [base+p·4096, base+(p+1)·4096), EOS only at a frame boundary; before
     # SOS, only SOS is admitted.
     structured = params.frame_protocol
-    if vocab > protocol.TOKEN_AUDIO_BASE:  # vocab actually covers the protocol
-        base = protocol.TOKEN_AUDIO_BASE
-        lo = base + state.frame_pos * protocol.CODEBOOK_SIZE
+    # vocab actually covers the protocol range?
+    if base + vocab > protocol.TOKEN_AUDIO_BASE:
+        abase = protocol.TOKEN_AUDIO_BASE
+        lo = abase + state.frame_pos * protocol.CODEBOOK_SIZE
         hi = lo + protocol.CODEBOOK_SIZE
         frame_ok = (ids >= lo[:, None]) & (ids < hi[:, None])
         at_boundary = state.frame_pos == 0
@@ -188,7 +196,7 @@ def sample(
         )
         logits = jnp.where(structured[:, None] & ~mask_ok, NEG_INF, logits)
     logits = apply_repetition_penalty(
-        logits, state.presence, params.repetition_penalty
+        logits, state.presence[:, base:], params.repetition_penalty
     )
     greedy = params.temperature <= 0.0
     safe_temp = jnp.where(greedy, 1.0, params.temperature)
@@ -229,12 +237,12 @@ def sample(
     else:
         sampled = choice
     greedy_tok = jnp.argmax(logits, axis=-1)
-    tokens = jnp.where(greedy, greedy_tok, sampled).astype(jnp.int32)
+    tokens = (base + jnp.where(greedy, greedy_tok, sampled)).astype(jnp.int32)
 
     # frame-position tracking (advances regardless of the structured flag so
     # it can be enabled mid-stream)
-    base = protocol.TOKEN_AUDIO_BASE
-    is_audio = (tokens >= base) & (tokens < base + protocol.AUDIO_VOCAB)
+    abase = protocol.TOKEN_AUDIO_BASE
+    is_audio = (tokens >= abase) & (tokens < abase + protocol.AUDIO_VOCAB)
     in_speech = state.in_speech | (tokens == protocol.TOKEN_SOS)
     frame_pos = jnp.where(
         is_audio & in_speech,

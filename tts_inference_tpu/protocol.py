@@ -29,6 +29,16 @@ TOKEN_EOS = 128258          # End of Speech   (stop generation)
 TOKEN_DELIMITER = 128261    # Delimiter (appears between multi-SOS segments)
 TOKEN_AUDIO_BASE = 128266   # code = token_id - TOKEN_AUDIO_BASE - 4096*pos
 
+# Every token a TTS generation can legitimately emit — Llama specials
+# (128000-128255), SOS/EOS/delimiters (128256-128265), and the audio vocab
+# (128266+) — sits at or above this id. The decode hot path exploits that:
+# with `EngineConfig.sliced_head` the LM head only computes logits for rows
+# [HEAD_SLICE_BASE, vocab), skipping the 128k plain-text rows — 394 MB less
+# HBM traffic per decode step at int8 (the reference instead computes the
+# full head and lets its extractor DROP sub-audio tokens after the fact,
+# tensorrt_tts/inference.py:54-93).
+HEAD_SLICE_BASE = 128000
+
 # --- Frame / codec geometry (reference: spec.md:11-45) ----------------------
 FRAME_SIZE = 7              # LM tokens per audio frame
 SAMPLE_RATE = 24000         # Hz

@@ -14,10 +14,13 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from tts_inference_tpu import protocol
 from tts_inference_tpu.config import Config, SamplingConfig, StreamConfig
 from tts_inference_tpu.engine.engine import GenerationEngine
-from tts_inference_tpu.models.snac import SnacDecoder
+from tts_inference_tpu.models.snac import SnacDecoder, decode_codes, to_pcm16
 from tts_inference_tpu.streaming.lookahead import LookaheadStreamingDecoder
 from tts_inference_tpu.utils.audio import pcm16_bytes
 from tts_inference_tpu.utils.timing import PhaseTimer
@@ -94,6 +97,66 @@ class TTSPipeline:
         self.tokenizer = tokenizer
         self.config = config or Config()
         self.last_metrics: Optional[StreamMetrics] = None
+        self._first_pcm_cache: dict = {}
+        # fused first-chunk vocode toggle (A/B and tests); the fallback
+        # host path is always kept compiled-in either way
+        self.fuse_first_chunk: bool = True
+
+    # -- fused first-chunk vocode (TTFA fast path) --------------------------
+    #
+    # The first audio chunk's vocoder decode is chained onto the engine's
+    # first-burst dispatch DEVICE-TO-DEVICE: token extraction (audio-range
+    # check, deinterleave, clamp) and the SNAC decode run in one extra jitted
+    # graph on the burst's token buffer, so the first PCM reaches the host in
+    # the same round-trip window as the first tokens — no second dispatch on
+    # the TTFA-critical path. (The reference pays a full vLLM→SNAC process
+    # hop here, modal_audio_stream.py:340-423.)
+    #
+    # Bit-exactness: the in-graph path reproduces TokenExtractor +
+    # deinterleave_frames + SnacDecoder.decode_frames exactly (same bucket
+    # padding, valid mask, noise seed); anything unclean (SOS/EOS/non-audio
+    # in the burst, plan mismatch) flips `ok` and the host path takes over
+    # untouched.
+
+    def _first_pcm_fn(self, n_codes: int, nf: int, emit: int):
+        key = (n_codes, nf, emit)
+        fn = self._first_pcm_cache.get(key)
+        if fn is not None:
+            return fn
+        voc = self.vocoder
+        cfg = voc.cfg
+        nb = voc.bucket_frames(nf)
+        lat = max(cfg.vq_strides)
+        ab = protocol.TOKEN_AUDIO_BASE
+        offs = np.asarray(protocol.POSITION_OFFSETS, np.int32)
+        use_noise = voc.use_noise
+
+        def impl(toks, noise_seed):
+            t = toks[0, :n_codes].astype(jnp.int32)
+            ok = jnp.all(
+                (t >= ab) & (t < ab + protocol.AUDIO_VOCAB)
+            )
+            frames = (t - ab).reshape(nf, protocol.FRAME_SIZE) - offs
+            frames = jnp.clip(frames, 0, cfg.codebook_size - 1)
+            l1 = frames[:, 0]
+            l2 = frames[:, (1, 4)].reshape(-1)
+            l3 = frames[:, (2, 3, 5, 6)].reshape(-1)
+            pad = lambda x, m: (  # noqa: E731
+                jnp.zeros((1, m * nb), jnp.int32).at[0, : x.shape[0]].set(x)
+            )
+            audio = decode_codes(
+                voc.params, cfg,
+                (pad(l1, 1), pad(l2, 2), pad(l3, 4)),
+                noise_seed=jnp.full((1,), noise_seed, jnp.uint32),
+                latent_offset=jnp.zeros((1,), jnp.uint32),
+                use_noise=use_noise,
+                valid_latent=jnp.full((1,), nf * lat, jnp.int32),
+            )
+            return to_pcm16(audio[0, :emit]), ok
+
+        fn = jax.jit(impl)
+        self._first_pcm_cache[key] = fn
+        return fn
 
     def build_prompt(self, text: str, voice: str = "tara",
                      force_speech: bool = False) -> List[int]:
@@ -145,9 +208,31 @@ class TTSPipeline:
         first_burst = (scfg.first_chunk_frames + first_la) * \
             protocol.FRAME_SIZE
 
+        # fused first-chunk vocode: only meaningful when the prompt already
+        # ends in SOS (the burst is then expected to be pure audio codes)
+        nf_first = first_burst // protocol.FRAME_SIZE
+        emit_first = scfg.first_chunk_frames * self.vocoder.cfg.samples_per_frame
+        fused: dict = {}
+
+        def on_first_tokens(toks_d):
+            if toks_d.shape[1] < first_burst:
+                return
+            fn = self._first_pcm_fn(first_burst, nf_first, emit_first)
+            pcm_d, ok_d = fn(toks_d, np.uint32(noise_seed))
+            try:  # overlap PCM transfer with the engine's token fetch
+                pcm_d.copy_to_host_async()
+                ok_d.copy_to_host_async()
+            except Exception:
+                pass
+            fused["pcm"], fused["ok"] = pcm_d, ok_d
+
+        hook = (on_first_tokens
+                if self.fuse_first_chunk and extractor.started else None)
+
         restarts_seen = 0
         for token_chunk in self.engine.stream(
             prompt, sampling, first_burst=first_burst,
+            on_first_tokens=hook,
         ):
             metrics.ttft_ms = metrics.ttft_ms or timer.mark("ttft_ms")
             metrics.tokens += len(token_chunk)
@@ -165,6 +250,22 @@ class TTSPipeline:
                     )
             if new_codes:
                 la.feed(new_codes)
+                if fused:
+                    pcm_d, ok_d = fused.pop("pcm"), fused.pop("ok")
+                    t0 = time.perf_counter()
+                    plan = la.plan()
+                    if (plan is not None and plan.w0 == 0
+                            and plan.w1 == nf_first and plan.lo == 0
+                            and plan.hi == emit_first
+                            and not extractor.finished
+                            and extractor.restart_count == restarts_seen
+                            and bool(ok_d)):
+                        la.commit(plan)
+                        metrics.decode_times_ms.append(
+                            (time.perf_counter() - t0) * 1000.0
+                        )
+                        yield from cut(np.asarray(pcm_d))
+                        continue
                 t0 = time.perf_counter()
                 out = la.poll()
                 if out is not None and len(out):

@@ -24,9 +24,14 @@ import numpy as np
 
 def eager_greedy(
     params, model_cfg, prompt_ids: Sequence[int], max_tokens: int,
-    eos_id: int,
+    eos_id: int, logits_base: int = 0,
 ) -> List[int]:
-    """Plain per-step argmax loop — no scan, no sampler, no engine."""
+    """Plain per-step argmax loop — no scan, no sampler, no engine.
+
+    ``logits_base`` mirrors the engine's sliced-head setting
+    (EngineConfig.sliced_head, protocol.HEAD_SLICE_BASE) so the twin argmaxes
+    over the same candidate rows as the production decode path.
+    """
     import jax.numpy as jnp
 
     from tts_inference_tpu.models import llama
@@ -38,16 +43,18 @@ def eager_greedy(
         params, model_cfg,
         jnp.asarray([list(prompt_ids)], jnp.int32),
         jnp.asarray([len(prompt_ids)], jnp.int32),
-        cache,
+        cache, logits_base=logits_base,
     )
     out: List[int] = []
-    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    tok = (logits_base + jnp.argmax(logits, -1)).astype(jnp.int32)
     for _ in range(max_tokens):
         out.append(int(tok[0]))
         if out[-1] == eos_id:
             break
-        logits, cache = llama.decode_one(params, model_cfg, tok, cache)
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits, cache = llama.decode_one(
+            params, model_cfg, tok, cache, logits_base=logits_base
+        )
+        tok = (logits_base + jnp.argmax(logits, -1)).astype(jnp.int32)
     return out
 
 
@@ -74,7 +81,8 @@ def compare(runtime, text: str, voice: str, max_tokens: int) -> Dict:
 
     t0 = time.perf_counter()
     eager = eager_greedy(
-        eng.core.params, eng.core.model_cfg, prompt, max_tokens, eng.eos_id
+        eng.core.params, eng.core.model_cfg, prompt, max_tokens, eng.eos_id,
+        logits_base=eng.core.logits_base,
     )
     eager_s = time.perf_counter() - t0
 
