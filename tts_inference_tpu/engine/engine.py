@@ -41,6 +41,21 @@ from tts_inference_tpu.ops import sampling as S
 from tts_inference_tpu.utils.timing import PhaseTimer
 
 
+def copy_async(*arrs) -> None:
+    """Queue device→host transfers for `arrs` at DISPATCH time.
+
+    A blocking fetch issued later would serialize behind every compute call
+    queued after the producer (measured +80–130 ms per chunk with depth-2
+    pipelining over the remote-dispatch tunnel); a copy queued here runs on
+    the device stream right after the producer, so the later fetch finds
+    the bytes already delivered."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except Exception:  # np.ndarray / backends without async copy
+            pass
+
+
 @dataclasses.dataclass
 class GenerationResult:
     """Mirrors the reference's result dict (`tensorrt_tts/inference.py:265-277`):
@@ -1007,6 +1022,7 @@ class GenerationEngine:
         ))
         if on_first_tokens is not None:
             on_first_tokens(pending[0][0])
+        copy_async(pending[0][0])
         produced = 0
         scheduled = pending[0][0].shape[1]
         while pending:
@@ -1017,6 +1033,7 @@ class GenerationEngine:
                 pending.append(
                     core.decode_steps_launch(sp, tok_d, act_d, n_default)
                 )
+                copy_async(pending[-1][0])
                 scheduled += n_default
             toks_d, _, _ = pending.popleft()
             row = np.asarray(toks_d)[0].tolist()  # sync overlaps in-flight

@@ -35,6 +35,7 @@ import numpy as np
 
 from tts_inference_tpu import protocol
 from tts_inference_tpu.config import Config, SamplingConfig, StreamConfig
+from tts_inference_tpu.engine import engine as E
 from tts_inference_tpu.engine.engine import EngineCore
 from tts_inference_tpu.models.snac import SnacDecoder
 from tts_inference_tpu.ops import sampling as S
@@ -408,6 +409,7 @@ class Scheduler:
         ])
         for slot, req, _ in batch:
             self._active[slot] = True
+        E.copy_async(toks, tok, act)
         self._inflight.append(
             (toks, tok, act, sp_arr, self._launch_ids(), skip_first)
         )
@@ -513,6 +515,7 @@ class Scheduler:
                and len(self._inflight) < self.pipeline_depth):
             _, tok_d, act_d, sp_used, _, _ = self._inflight[-1]
             nxt = self.core.decode_steps_launch(sp_used, tok_d, act_d)
+            E.copy_async(*nxt[:3])
             self._inflight.append(
                 (nxt[0], nxt[1], nxt[2], sp_used, self._launch_ids(), None)
             )
@@ -554,6 +557,7 @@ class Scheduler:
                 nxt = self.core.decode_steps_launch(
                     sp, self._last_tok, self._active
                 )
+                E.copy_async(*nxt[:3])
                 self._inflight.append(
                     (nxt[0], nxt[1], nxt[2], sp, self._launch_ids(), None)
                 )
