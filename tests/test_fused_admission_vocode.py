@@ -1,0 +1,92 @@
+"""Fused admission vocode (scheduler twin of the pipeline's fused first
+chunk): each admitted slot's first-chunk SNAC decode is chained onto the
+admission dispatch (scheduler._launch_admit_pcm). Pins bit-exactness vs the
+host vocode-worker path and the fallback when the burst is too short."""
+
+import numpy as np
+import pytest
+
+from tts_inference_tpu import protocol as P
+from tts_inference_tpu.config import SamplingConfig, StreamConfig, tiny_config
+from tts_inference_tpu.engine.scheduler import Scheduler, TTSRequest
+from tts_inference_tpu.runtime import create_tiny_runtime
+
+AUDIO_RANGE = (P.TOKEN_AUDIO_BASE, P.TOKEN_AUDIO_BASE + P.AUDIO_VOCAB)
+SCFG = StreamConfig(frames_per_chunk=2, lookahead_frames=3,
+                    left_context_frames=4)
+
+
+@pytest.fixture(scope="module")
+def rt():
+    return create_tiny_runtime(seed=0)
+
+
+@pytest.fixture(scope="module")
+def sched(rt):
+    s = Scheduler(
+        rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer
+    )
+    # make the admission burst cover the 28-token first chunk (the tiny
+    # config's default 2*7 is too short — production uses 2*14)
+    s.admission_steps = 28
+    s.start()
+    yield s
+    s.stop()
+
+
+def mk_req(text, seed, max_tokens=70):
+    return TTSRequest(
+        text=text, sampling=SamplingConfig(
+            max_tokens=max_tokens, seed=seed, token_range=AUDIO_RANGE),
+        stream_cfg=SCFG, force_speech=True, noise_seed=seed,
+    )
+
+
+def drain(req, timeout=300):
+    chunks, metrics = [], None
+    while True:
+        kind, payload = req.events.get(timeout=timeout)
+        if kind == "chunk":
+            chunks.append(payload.pcm)
+        elif kind == "done":
+            metrics = payload
+            break
+        else:
+            raise AssertionError(payload)
+    return chunks, metrics
+
+
+def _run(sched, fused, seeds):
+    sched.fuse_admission_vocode = fused
+    try:
+        reqs = [mk_req(f"fused admit {s}", s) for s in seeds]
+        for r in reqs:
+            sched.submit(r)
+        return [drain(r) for r in reqs]
+    finally:
+        sched.fuse_admission_vocode = True
+
+
+def test_fused_admission_bit_exact(sched):
+    a = _run(sched, True, [11, 12, 13])
+    b = _run(sched, False, [11, 12, 13])
+    for (ca, ma), (cb, mb) in zip(a, b):
+        assert ca == cb            # identical PCM chunk bytes
+        assert ma.tokens == mb.tokens
+    # the fused graph was actually built (admission covered the chunk)
+    assert sched._pcm_cache
+
+
+def test_fused_admission_falls_back_short_burst(sched):
+    """max_tokens below the first-chunk need → not eligible → host path."""
+    def short(fused):
+        sched.fuse_admission_vocode = fused
+        try:
+            r = mk_req("short", 21, max_tokens=14)
+            sched.submit(r)
+            return drain(r)
+        finally:
+            sched.fuse_admission_vocode = True
+
+    a, b = short(True), short(False)
+    assert a[0] == b[0]

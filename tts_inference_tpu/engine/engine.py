@@ -202,6 +202,9 @@ class EngineCore:
         #             sparams, slot_mask)
         #   decode:  (n_steps, kv_window, params, cache, sstate, sparams,
         #             last_tok, active)
+        self._reset_seed = jax.jit(
+            self._reset_seed_impl, donate_argnums=(0, 1)
+        )
         self._prefill = jax.jit(
             partial(self._prefill_impl, model_cfg, self.logits_base),
             static_argnums=(0,),
@@ -630,6 +633,49 @@ class EngineCore:
             frame_pos=self.sampling_state.frame_pos.at[idx].set(0),
         )
 
+    @staticmethod
+    def _reset_seed_impl(cache, sstate, mask, seeds, reseed):
+        """Slot reset + PRNG reseed as ONE device call.
+
+        reset_slots + seed_slots issue ~6 eager ops, each a separate
+        dispatch on the admission/TTFA critical path (the burst can't start
+        until they land). This fuses them into a single graph: admitted
+        slots (mask) get lengths/presence/speech state cleared, and those
+        with reseed also get a fresh PRNGKey(seed)."""
+        cache = cache._replace(
+            lengths=jnp.where(mask, 0, cache.lengths)
+        )
+        new_keys = jax.vmap(jax.random.PRNGKey)(seeds)
+        sstate = sstate._replace(
+            presence=jnp.where(mask[:, None], False, sstate.presence),
+            key=jnp.where((mask & reseed)[:, None], new_keys, sstate.key),
+            in_speech=jnp.where(mask, False, sstate.in_speech),
+            frame_pos=jnp.where(mask, 0, sstate.frame_pos),
+        )
+        return cache, sstate
+
+    def reset_and_seed(self, slots: Sequence[int],
+                       seeds: Optional[Sequence[Optional[int]]] = None
+                       ) -> None:
+        """Host wrapper for _reset_seed_impl (+ paged block release)."""
+        for sl in slots:
+            self._len_bounds[sl] = 0
+        if self.engine_cfg.paged_kv:
+            self._free_slot_blocks(slots)
+        mask = np.zeros(self.batch, bool)
+        seed_arr = np.zeros(self.batch, np.int32)
+        reseed = np.zeros(self.batch, bool)
+        for i, sl in enumerate(slots):
+            mask[sl] = True
+            sd = seeds[i] if seeds is not None and i < len(seeds) else None
+            if sd is not None:
+                seed_arr[sl] = np.int64(sd) & 0x7FFFFFFF
+                reseed[sl] = True
+        self.cache, self.sampling_state = self._reset_seed(
+            self.cache, self.sampling_state, jnp.asarray(mask),
+            jnp.asarray(seed_arr), jnp.asarray(reseed),
+        )
+
     def seed_slots(self, slots: Sequence[int], seeds: Sequence[int]) -> None:
         """Reset per-slot PRNG keys (per-request `seed` sampling param)."""
         idx = jnp.asarray(list(slots), jnp.int32)
@@ -718,6 +764,7 @@ class EngineCore:
         slots: Sequence[int],
         sparams: S.SamplingParams,
         reserve_extra: Optional[Sequence[int]] = None,
+        seeds: Optional[Sequence[Optional[int]]] = None,
     ) -> np.ndarray:
         """Prefill the given slots with prompts; returns first tokens (B,).
 
@@ -730,7 +777,7 @@ class EngineCore:
         if self.engine_cfg.prefix_cache:
             tokens, lens, ptoks, plens, pidx, mask, bounds = \
                 self._prefix_batch_arrays(prompts, slots)
-            self.reset_slots(slots)
+            self.reset_and_seed(slots, seeds)
             tok, self.cache, self.sampling_state = self._prefill_prefix(
                 self.params, jnp.asarray(tokens), jnp.asarray(lens),
                 jnp.asarray(ptoks), jnp.asarray(plens), jnp.asarray(pidx),
@@ -749,7 +796,7 @@ class EngineCore:
             tokens[s, : len(p)] = p
             lens[s] = len(p)
             mask[s] = True
-        self.reset_slots(slots)
+        self.reset_and_seed(slots, seeds)
         self._maybe_reserve(prompts, slots, bucket, reserve_extra)
         tok, self.cache, self.sampling_state = self._prefill(
             bucket, self.params, jnp.asarray(tokens), jnp.asarray(lens),
@@ -769,21 +816,24 @@ class EngineCore:
         n: Optional[int] = None,
         reserve_extra: Optional[Sequence[int]] = None,
         kv_window: Optional[int] = None,
+        seeds: Optional[Sequence[Optional[int]]] = None,
     ):
         """Fused admission prefill + n decode steps, launched without
         waiting. Returns device arrays (toks (B, n+1) incl. the prefill
         token in column 0, last_tok, active).
 
-        kv_window pins the decode attention window (the scheduler passes
-        max_seq so admission compiles ONE graph per prefill bucket instead
-        of one per live-neighbor length); None = smallest covering bucket.
+        kv_window pins the decode attention window; None (the scheduler
+        path) = smallest bucket covering every live slot — the decode steps
+        read W tokens of KV per step per layer, so the window directly
+        scales admission latency. warmup_graphs compiles every reachable
+        (prefill bucket, window) admission graph.
         """
         n = n or self.engine_cfg.decode_steps_per_call
         assert len(prompts) == len(slots)
         if self.engine_cfg.prefix_cache:
             tokens, lens, ptoks, plens, pidx, mask, bounds = \
                 self._prefix_batch_arrays(prompts, slots)
-            self.reset_slots(slots)
+            self.reset_and_seed(slots, seeds)
             for sl, b in bounds.items():
                 self._len_bounds[sl] = b
             needed = int(self._len_bounds.max(initial=0)) + n + 1
@@ -808,7 +858,7 @@ class EngineCore:
             tokens[sl, : len(p)] = p
             lens[sl] = len(p)
             mask[sl] = True
-        self.reset_slots(slots)
+        self.reset_and_seed(slots, seeds)
         self._maybe_reserve(prompts, slots, bucket, reserve_extra)
         for p, sl in zip(prompts, slots):
             self._len_bounds[sl] = min(len(p), bucket) + 1
@@ -897,15 +947,32 @@ class EngineCore:
                         [probe], [0], sp, zeros_tok, zeros_act, n=nn
                     )
                     np.asarray(toks)
+            # scheduler fused-admission path (admission_steps defaults to
+            # 2n — see Scheduler): admission picks the smallest KV window
+            # covering every live slot, so warm each (bucket, window) pair
+            # (one-time; the persistent XLA cache makes later runs cheap)
+            adm_windows = sorted({self.kv_bucket(w) for w in
+                                  list(self.engine_cfg.kv_buckets)
+                                  + [self.max_seq] if w <= self.max_seq})
             for nn in sorted({n, 2 * n}):
-                with t.phase(f"compile_admission_{b}_n{nn}"):
-                    # scheduler fused-admission path: max_seq window
-                    # (admission_steps defaults to 2n — see Scheduler)
-                    toks, tok, act = self.prefill_decode_launch(
-                        [probe], [0], sp, zeros_tok, zeros_act, n=nn,
-                        kv_window=self.max_seq,
-                    )
-                    np.asarray(toks)
+                for w in adm_windows:
+                    if w < self.kv_bucket(b + nn + 1):
+                        continue  # window can't be smaller than the prompt
+                    with t.phase(f"compile_admission_{b}_n{nn}_w{w}"):
+                        saved = self._len_bounds.copy()
+                        if self.batch > 1:
+                            # a live neighbor at w-nn-1 forces window w
+                            self._len_bounds[1] = max(w - nn - 1, 1)
+                        try:
+                            toks, tok, act = self.prefill_decode_launch(
+                                [probe], [0], sp, zeros_tok, zeros_act,
+                                n=nn,
+                            )
+                            np.asarray(toks)
+                        finally:
+                            self._len_bounds[:] = saved
+                    if self.batch == 1:
+                        break  # only one reachable window per (b, nn)
         windows = sorted({self.kv_bucket(w) for w in
                           list(self.engine_cfg.kv_buckets) + [self.max_seq]
                           if w <= self.max_seq} | {self.kv_bucket(1)})
@@ -994,9 +1061,6 @@ class GenerationEngine:
         sampling = sampling or SamplingConfig()
         core = self.core
         sp = S.SamplingParams.from_config(sampling, core.batch)
-
-        if sampling.seed is not None:
-            core.seed_slots([0], [sampling.seed])
         max_new = sampling.max_tokens
         n_default = steps_per_yield or self.engine_cfg.decode_steps_per_call
 
@@ -1019,6 +1083,7 @@ class GenerationEngine:
             [list(prompt_ids)], [0], sp,
             np.zeros(core.batch, np.int32), np.zeros(core.batch, bool),
             n=max(n_first, 1), reserve_extra=[max_new],
+            seeds=[sampling.seed],
         ))
         if on_first_tokens is not None:
             on_first_tokens(pending[0][0])

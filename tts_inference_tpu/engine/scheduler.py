@@ -219,6 +219,14 @@ class Scheduler:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._wakeup = threading.Event()
+        # fused admission vocode (multi-stream twin of
+        # pipeline._first_pcm_fn): the first chunk's extraction + SNAC
+        # decode for every admitted slot, chained onto the admission
+        # dispatch device-to-device — first PCM lands with the first
+        # tokens, skipping the separate vocode round-trip (~80 ms of
+        # 8-stream TTFA, measured)
+        self._pcm_cache: dict = {}
+        self.fuse_admission_vocode = True
         # async vocode worker: the scheduler thread only PLANS windows (and
         # advances emission bookkeeping); the worker runs the batched device
         # decode + host fetch + chunk emission, so decode launches never
@@ -330,6 +338,100 @@ class Scheduler:
         )
         return protocol.format_prompt_ids(ids, force_speech=req.force_speech)
 
+    def _admit_pcm_fn(self, n_codes: int, nf: int, emit: int):
+        """Batched first-PCM graph: admission token buffer (B, n+1) →
+        (pcm (B, emit) int16, ok (B,) bool). Row r is slot r's first
+        `n_codes` tokens decoded exactly like the vocode worker would
+        (same frame bucket, valid mask, per-row noise seed) — bit-exact,
+        with `ok` gating on a clean all-audio burst."""
+        key = (n_codes, nf, emit)
+        fn = self._pcm_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        import jax.numpy as jnp
+
+        from tts_inference_tpu.models.snac import decode_codes, to_pcm16
+
+        voc = self.vocoder
+        cfg = voc.cfg
+        nb = voc.bucket_frames(nf)
+        lat = max(cfg.vq_strides)
+        ab = protocol.TOKEN_AUDIO_BASE
+        offs = np.asarray(protocol.POSITION_OFFSETS, np.int32)
+        use_noise = voc.use_noise
+
+        def impl(toks, seeds):
+            b = toks.shape[0]
+            t = toks[:, :n_codes].astype(jnp.int32)
+            ok = jnp.all((t >= ab) & (t < ab + protocol.AUDIO_VOCAB),
+                         axis=1)
+            frames = (t - ab).reshape(b, nf, protocol.FRAME_SIZE) - offs
+            frames = jnp.clip(frames, 0, cfg.codebook_size - 1)
+            l1 = frames[:, :, 0]
+            l2 = frames[:, :, (1, 4)].reshape(b, -1)
+            l3 = frames[:, :, (2, 3, 5, 6)].reshape(b, -1)
+            pad = lambda x, m: (  # noqa: E731
+                jnp.zeros((b, m * nb), jnp.int32)
+                .at[:, : x.shape[1]].set(x)
+            )
+            audio = decode_codes(
+                voc.params, cfg,
+                (pad(l1, 1), pad(l2, 2), pad(l3, 4)),
+                noise_seed=seeds,
+                latent_offset=jnp.zeros((b,), jnp.uint32),
+                use_noise=use_noise,
+                valid_latent=jnp.full((b,), nf * lat, jnp.int32),
+            )
+            return to_pcm16(audio[:, :emit]), ok
+
+        fn = jax.jit(impl)
+        self._pcm_cache[key] = fn
+        return fn
+
+    def _launch_admit_pcm(self, toks_d, batch):
+        """Chain the batched first-PCM graph onto a fresh admission launch.
+
+        Returns (eligible_slots, pcm_d, ok_d, emit) or None. Eligible =
+        force_speech requests whose stream geometry matches the first
+        admitted one and whose first chunk fits the admission burst."""
+        if not self.fuse_admission_vocode:
+            return None
+        geo = None
+        eligible = []
+        for slot, req, _ in batch:
+            scfg = req.stream_cfg
+            if not req.force_speech:
+                continue
+            la = (scfg.first_chunk_lookahead
+                  if scfg.first_chunk_lookahead is not None
+                  else scfg.lookahead_frames)
+            nf = scfg.first_chunk_frames + la
+            n_codes = nf * protocol.FRAME_SIZE
+            emit = scfg.first_chunk_frames * \
+                self.vocoder.cfg.samples_per_frame
+            g = (n_codes, nf, emit)
+            if n_codes > toks_d.shape[1] or \
+                    req.sampling.max_tokens < n_codes:
+                continue
+            if geo is None:
+                geo = g
+            if g != geo:
+                continue
+            eligible.append(slot)
+        if not eligible:
+            return None
+        n_codes, nf, emit = geo
+        seeds = np.zeros(self.core.batch, np.uint32)
+        for slot, req, _ in batch:
+            seeds[slot] = req.noise_seed & 0xFFFFFFFF
+        fn = self._admit_pcm_fn(n_codes, nf, emit)
+        import jax.numpy as jnp
+
+        pcm_d, ok_d = fn(toks_d, jnp.asarray(seeds))
+        E.copy_async(pcm_d, ok_d)
+        return (eligible, pcm_d, ok_d, nf, emit)
+
     def _admit(self) -> bool:
         """Admit pending requests; returns True if an admission launch was
         pushed onto the pipeline.
@@ -393,13 +495,17 @@ class Scheduler:
             self._sp["allowed_min"][slot] = lo
             self._sp["allowed_max"][slot] = hi
             self._sp["frame_protocol"][slot] = sp.frame_protocol
-        self.core.seed_slots(slots_idx, seeds)
         sp_arr = self._sampling_params()
+        # kv_window=None → smallest bucket covering every live slot (the
+        # fused decode steps read W tokens of KV per step per layer; with
+        # max_seq=4608 that was ~2 GB of extra KV traffic per admission at
+        # B=8 — measured +90 ms of 8-stream TTFA). Each (bucket, window)
+        # admission graph is warmed in warmup_graphs.
         toks, tok, act = self.core.prefill_decode_launch(
             prompts, slots_idx, sp_arr, self._last_tok, self._active,
-            reserve_extra=extras, kv_window=self.core.max_seq,
-            n=self.admission_steps,
+            reserve_extra=extras, n=self.admission_steps, seeds=seeds,
         )
+        fused_pcm = self._launch_admit_pcm(toks, batch)
         admitted = set(slots_idx)
         # output column 0 repeats the last (already processed) token of
         # slots that were active before this admission
@@ -411,7 +517,8 @@ class Scheduler:
             self._active[slot] = True
         E.copy_async(toks, tok, act)
         self._inflight.append(
-            (toks, tok, act, sp_arr, self._launch_ids(), skip_first)
+            (toks, tok, act, sp_arr, self._launch_ids(), skip_first,
+             fused_pcm)
         )
         return True
 
@@ -513,15 +620,17 @@ class Scheduler:
         while (self._inflight and self.pending.empty() and not self._held
                and self._active.any()
                and len(self._inflight) < self.pipeline_depth):
-            _, tok_d, act_d, sp_used, _, _ = self._inflight[-1]
+            _, tok_d, act_d, sp_used, _, _, _ = self._inflight[-1]
             nxt = self.core.decode_steps_launch(sp_used, tok_d, act_d)
             E.copy_async(*nxt[:3])
             self._inflight.append(
-                (nxt[0], nxt[1], nxt[2], sp_used, self._launch_ids(), None)
+                (nxt[0], nxt[1], nxt[2], sp_used, self._launch_ids(), None,
+                 None)
             )
         prev = self._inflight.popleft() if self._inflight else None
         if prev is not None:
-            toks_d, tok_d, act_d, sp_used, launch_ids, skip_first = prev
+            (toks_d, tok_d, act_d, sp_used, launch_ids, skip_first,
+             fused_pcm) = prev
             toks = np.asarray(toks_d)        # overlaps the in-flight calls
             active = np.asarray(act_d)
             self._last_tok = np.array(tok_d)
@@ -540,6 +649,34 @@ class Scheduler:
                 # device-side EOS/max-seq freeze also ends the slot
                 if finished or not active[slot]:
                     finishing.append(slot)
+            if fused_pcm is not None:
+                # fused admission vocode: emit eligible slots' first chunks
+                # straight from the chained device decode; their lookahead
+                # bookkeeping commits here so the tick below plans the rest
+                f_slots, pcm_d, ok_d, nf, emit = fused_pcm
+                try:
+                    okv = np.asarray(ok_d)
+                    pcm = np.asarray(pcm_d)
+                except Exception:
+                    okv = None
+                if okv is not None:
+                    for sl in f_slots:
+                        state = self.slots[sl]
+                        if (state is None or launch_ids[sl] != state.req.id
+                                or sl in finishing or not okv[sl]
+                                or state.req.cancelled
+                                or state.metrics.chunks):
+                            continue
+                        la = state.lookahead
+                        plan = la.plan()
+                        # the fused graph decoded EXACTLY frames [0, nf);
+                        # any other window would see different context
+                        if (plan is None or plan.w0 != 0 or plan.lo != 0
+                                or plan.w1 != nf or plan.hi != emit):
+                            continue
+                        la.commit(plan)
+                        state.metrics.decode_times_ms.append(0.0)
+                        state._emit(pcm[sl])
             self._vocode_tick(finishing)
             for slot in finishing:
                 state = self.slots[slot]
@@ -559,7 +696,8 @@ class Scheduler:
                 )
                 E.copy_async(*nxt[:3])
                 self._inflight.append(
-                    (nxt[0], nxt[1], nxt[2], sp, self._launch_ids(), None)
+                    (nxt[0], nxt[1], nxt[2], sp, self._launch_ids(), None,
+                     None)
                 )
                 did = True
         return did
