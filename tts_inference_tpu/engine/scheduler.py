@@ -348,6 +348,12 @@ class Scheduler:
         fn = self._pcm_cache.get(key)
         if fn is not None:
             return fn
+        # Exactness note: this decodes at B rows; the vocode worker buckets
+        # rows to pow2(#jobs). XLA batched convs differ by float LSBs
+        # (~5e-9) across row counts, so fused vs worker chunks can differ
+        # by at most one int16 LSB — the same variation the worker path
+        # already has between differently-sized ticks (test-pinned in
+        # tests/test_fused_admission_vocode.py).
         import jax
         import jax.numpy as jnp
 
