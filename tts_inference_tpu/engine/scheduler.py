@@ -235,6 +235,11 @@ class Scheduler:
         # arrive in bursts: worst inter-chunk gap doubled).
         self._vocode_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._vocode_thread: Optional[threading.Thread] = None
+        # jobs put but not yet fully emitted (the pipelined worker may hold
+        # a decode in flight after the queue empties) — drain_vocoder waits
+        # on this, not on queue emptiness
+        self._vocode_pending = 0
+        self._vocode_plock = threading.Lock()
         # pipelined dispatch: deque of up to `pipeline_depth` in-flight
         # decode launches, each (toks_d, tok_d, act_d, sparams,
         # launch_req_ids). Depth 2 keeps a call queued behind the running
@@ -292,10 +297,20 @@ class Scheduler:
             )
             self._vocode_thread.start()
 
+    def _vq_put(self, item) -> None:
+        with self._vocode_plock:
+            self._vocode_pending += 1
+        self._vocode_q.put(item)
+
+    def _vq_done(self, n: int = 1) -> None:
+        with self._vocode_plock:
+            self._vocode_pending -= n
+
     def drain_vocoder(self, timeout: float = 60.0) -> None:
-        """Block until all queued vocode/finish jobs have been emitted."""
+        """Block until all queued vocode/finish jobs have been emitted
+        (including decodes the pipelined worker still holds in flight)."""
         deadline = time.perf_counter() + timeout
-        while not self._vocode_q.empty():
+        while self._vocode_pending > 0:
             if time.perf_counter() > deadline:
                 raise TimeoutError("vocoder queue did not drain")
             time.sleep(0.002)
@@ -558,49 +573,83 @@ class Scheduler:
                 state.lookahead.commit(plan)
                 jobs.append((state, plan, layers))
         if jobs:
-            self._vocode_q.put(("decode", jobs))
+            self._vq_put(("decode", jobs))
 
     def _vocode_worker(self) -> None:
+        """Decode-job consumer with depth-2 dispatch pipelining.
+
+        Launch batch k+1 before fetching batch k: the dispatch+fetch
+        round-trip (not the decode) dominated vocode cost at 8 streams, and
+        pipelining hides it behind the next batch's device time. 'finish'
+        sentinels are per-stream barriers: all in-flight decodes drain
+        before a finish is emitted (chunk→done FIFO order holds)."""
+        import collections
+
+        inflight: "collections.deque" = collections.deque()
+
+        def emit(entry):
+            jobs, handle, t0 = entry
+            try:
+                outs = self.vocoder.decode_frames_batch_fetch(handle)
+                decode_ms = (time.perf_counter() - t0) * 1000.0
+                for (state, plan, _), audio in zip(jobs, outs):
+                    if state.req.cancelled:
+                        continue
+                    state.metrics.decode_times_ms.append(
+                        decode_ms / len(jobs)
+                    )
+                    samples = audio[plan.lo : plan.hi]
+                    if len(samples):
+                        state._emit(samples)
+            except Exception as e:  # noqa: BLE001 — fail the affected reqs
+                for st, _, _ in jobs:
+                    st.req.events.put(("error", f"vocoder error: {e}"))
+            finally:
+                self._vq_done()
+
         while True:
-            item = self._vocode_q.get()
+            if inflight:
+                try:
+                    item = self._vocode_q.get_nowait()
+                except queue.Empty:
+                    emit(inflight.popleft())
+                    continue
+            else:
+                item = self._vocode_q.get()
             if item is None:
+                while inflight:
+                    emit(inflight.popleft())
                 return
             kind, payload = item
-            try:
-                if kind == "decode":
-                    jobs = payload
+            if kind == "decode":
+                try:
                     t0 = time.perf_counter()
-                    outs = self.vocoder.decode_frames_batch(
-                        [layers for _, _, layers in jobs],
-                        first_frames=[pl.w0 for _, pl, _ in jobs],
+                    handle = self.vocoder.decode_frames_batch_launch(
+                        [layers for _, _, layers in payload],
+                        first_frames=[pl.w0 for _, pl, _ in payload],
                         noise_seeds=[
-                            st.lookahead.noise_seed for st, _, _ in jobs
+                            st.lookahead.noise_seed
+                            for st, _, _ in payload
                         ],
                     )
-                    decode_ms = (time.perf_counter() - t0) * 1000.0
-                    for (state, plan, _), audio in zip(jobs, outs):
-                        if state.req.cancelled:
-                            continue
-                        state.metrics.decode_times_ms.append(
-                            decode_ms / len(jobs)
-                        )
-                        samples = audio[plan.lo : plan.hi]
-                        if len(samples):
-                            state._emit(samples)
-                else:  # "finish" — emitted after the slot's last decode job
+                    inflight.append((payload, handle, t0))
+                except Exception as e:  # noqa: BLE001
+                    for st, _, _ in payload:
+                        st.req.events.put(("error", f"vocoder error: {e}"))
+                    self._vq_done()
+                while len(inflight) > 1:
+                    emit(inflight.popleft())
+            else:  # "finish" — barrier: drain, then emit done
+                while inflight:
+                    emit(inflight.popleft())
+                try:
                     payload.finish()
-            except Exception as e:  # noqa: BLE001 — fail the affected reqs
-                targets = (payload if kind == "finish" else
-                           [st for st, _, _ in payload])
-                if kind == "finish":
+                except Exception as e:  # noqa: BLE001
                     payload.req.events.put(
                         ("error", f"vocoder error: {e}")
                     )
-                else:
-                    for st, _, _ in payload:
-                        st.req.events.put(
-                            ("error", f"vocoder error: {e}")
-                        )
+                finally:
+                    self._vq_done()
 
     def _launch_ids(self):
         return [s.req.id if s is not None else None for s in self.slots]
@@ -689,7 +738,7 @@ class Scheduler:
                 if state is not None:
                     # the done event must follow the slot's flush chunks:
                     # it rides the same FIFO as the decode jobs
-                    self._vocode_q.put(("finish", state))
+                    self._vq_put(("finish", state))
                 self._release(slot)
             did = True
 

@@ -471,13 +471,28 @@ class SnacDecoder:
         per-row valid-length masks keep each decode bit-identical to its
         solo decode and dummy pad rows are fully masked.
         """
+        return self.decode_frames_batch_fetch(
+            self.decode_frames_batch_launch(
+                layers, first_frames=first_frames, noise_seeds=noise_seeds
+            )
+        )
+
+    def decode_frames_batch_launch(self, layers, *, first_frames,
+                                   noise_seeds):
+        """Dispatch-only half of :meth:`decode_frames_batch`: launches the
+        batched decode and queues the device→host copy, returning an opaque
+        handle for :meth:`decode_frames_batch_fetch`.
+
+        Lets callers (the scheduler's vocode worker) keep a decode in
+        flight while fetching the previous one — the dispatch+fetch
+        round-trip was the dominant vocode cost at 8 streams, not the
+        decode itself."""
         n_rows = len(layers)
         ns = [int(l1.shape[-1]) for l1, _, _ in layers]
         nb = self.bucket_frames(max(ns))
         rb = 1
         while rb < n_rows:
             rb *= 2
-        spf = self.cfg.samples_per_frame
         lat = max(self.cfg.vq_strides)
 
         def stack(idx, mult):
@@ -501,5 +516,15 @@ class SnacDecoder:
             ),
             valid_latent=pad_vec([n * lat for n in ns], np.int32),
         )
+        try:
+            audio.copy_to_host_async()
+        except Exception:
+            pass
+        return (audio, ns)
+
+    def decode_frames_batch_fetch(self, handle) -> list:
+        """Blocking half: host audio rows for a launched batch."""
+        audio, ns = handle
+        spf = self.cfg.samples_per_frame
         host = np.asarray(audio)
-        return [host[r, : ns[r] * spf] for r in range(n_rows)]
+        return [host[r, : ns[r] * spf] for r in range(len(ns))]
