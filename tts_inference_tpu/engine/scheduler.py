@@ -235,6 +235,10 @@ class Scheduler:
         # arrive in bursts: worst inter-chunk gap doubled).
         self._vocode_q: "queue.Queue" = queue.Queue(maxsize=2)
         self._vocode_thread: Optional[threading.Thread] = None
+        # stage-2 fetch/emit queue: maxsize bounds decodes in flight on the
+        # device (launch stage blocks when the fetch stage is 2 behind)
+        self._emit_q: "queue.Queue" = queue.Queue(maxsize=2)
+        self._emit_thread: Optional[threading.Thread] = None
         # jobs put but not yet fully emitted (the pipelined worker may hold
         # a decode in flight after the queue empties) — drain_vocoder waits
         # on this, not on queue emptiness
@@ -296,6 +300,12 @@ class Scheduler:
                 target=self._vocode_worker, name="tts-vocoder", daemon=True
             )
             self._vocode_thread.start()
+        if self._emit_thread is None or not self._emit_thread.is_alive():
+            self._emit_thread = threading.Thread(
+                target=self._emit_worker, name="tts-vocoder-emit",
+                daemon=True,
+            )
+            self._emit_thread.start()
 
     def _vq_put(self, item) -> None:
         with self._vocode_plock:
@@ -325,6 +335,9 @@ class Scheduler:
             self._vocode_q.put(None)
             self._vocode_thread.join(timeout=30)
             self._vocode_thread = None
+        if self._emit_thread is not None:
+            self._emit_thread.join(timeout=30)  # sentinel forwarded by stage 1
+            self._emit_thread = None
 
     @property
     def n_active(self) -> int:
@@ -576,49 +589,18 @@ class Scheduler:
             self._vq_put(("decode", jobs))
 
     def _vocode_worker(self) -> None:
-        """Decode-job consumer with depth-2 dispatch pipelining.
+        """Stage 1 of the two-stage vocode pipeline: LAUNCH only.
 
-        Launch batch k+1 before fetching batch k: the dispatch+fetch
-        round-trip (not the decode) dominated vocode cost at 8 streams, and
-        pipelining hides it behind the next batch's device time. 'finish'
-        sentinels are per-stream barriers: all in-flight decodes drain
-        before a finish is emitted (chunk→done FIFO order holds)."""
-        import collections
-
-        inflight: "collections.deque" = collections.deque()
-
-        def emit(entry):
-            jobs, handle, t0 = entry
-            try:
-                outs = self.vocoder.decode_frames_batch_fetch(handle)
-                decode_ms = (time.perf_counter() - t0) * 1000.0
-                for (state, plan, _), audio in zip(jobs, outs):
-                    if state.req.cancelled:
-                        continue
-                    state.metrics.decode_times_ms.append(
-                        decode_ms / len(jobs)
-                    )
-                    samples = audio[plan.lo : plan.hi]
-                    if len(samples):
-                        state._emit(samples)
-            except Exception as e:  # noqa: BLE001 — fail the affected reqs
-                for st, _, _ in jobs:
-                    st.req.events.put(("error", f"vocoder error: {e}"))
-            finally:
-                self._vq_done()
-
+        Dispatches each batch decode (plus its queued D2H copy) and hands
+        the handle to the fetch/emit stage — this thread never blocks in a
+        device fetch, so new decode jobs dispatch the moment they are
+        planned and the dispatch round-trip overlaps the previous batch's
+        decode + fetch. One fetch thread preserves per-stream chunk→done
+        FIFO order ('finish' rides the same queue, no barriers needed)."""
         while True:
-            if inflight:
-                try:
-                    item = self._vocode_q.get_nowait()
-                except queue.Empty:
-                    emit(inflight.popleft())
-                    continue
-            else:
-                item = self._vocode_q.get()
+            item = self._vocode_q.get()
             if item is None:
-                while inflight:
-                    emit(inflight.popleft())
+                self._emit_q.put(None)
                 return
             kind, payload = item
             if kind == "decode":
@@ -632,20 +614,48 @@ class Scheduler:
                             for st, _, _ in payload
                         ],
                     )
-                    inflight.append((payload, handle, t0))
+                    self._emit_q.put(("decode", (payload, handle, t0)))
                 except Exception as e:  # noqa: BLE001
                     for st, _, _ in payload:
                         st.req.events.put(("error", f"vocoder error: {e}"))
                     self._vq_done()
-                while len(inflight) > 1:
-                    emit(inflight.popleft())
-            else:  # "finish" — barrier: drain, then emit done
-                while inflight:
-                    emit(inflight.popleft())
+            else:  # "finish"
+                self._emit_q.put(item)
+
+    def _emit_worker(self) -> None:
+        """Stage 2: blocking fetch + chunk emission + finish events."""
+        while True:
+            item = self._emit_q.get()
+            if item is None:
+                return
+            kind, payload = item
+            if kind == "decode":
+                jobs, handle, t0 = payload
                 try:
-                    payload.finish()
+                    outs = self.vocoder.decode_frames_batch_fetch(handle)
+                    decode_ms = (time.perf_counter() - t0) * 1000.0
+                    for (state, plan, _), audio in zip(jobs, outs):
+                        if state.req.cancelled:
+                            continue
+                        state.metrics.decode_times_ms.append(
+                            decode_ms / len(jobs)
+                        )
+                        samples = audio[plan.lo : plan.hi]
+                        if len(samples):
+                            state._emit(samples)
                 except Exception as e:  # noqa: BLE001
-                    payload.req.events.put(
+                    for st, _, _ in jobs:
+                        st.req.events.put(
+                            ("error", f"vocoder error: {e}")
+                        )
+                finally:
+                    self._vq_done()
+            else:  # "finish"
+                state = payload
+                try:
+                    state.finish()
+                except Exception as e:  # noqa: BLE001
+                    state.req.events.put(
                         ("error", f"vocoder error: {e}")
                     )
                 finally:
