@@ -25,14 +25,23 @@ from tts_inference_tpu.models import llama
 from tts_inference_tpu.ops import sampling as S
 
 
+def _force(out):
+    """Force completion with a real scalar fetch — `block_until_ready` does
+    NOT force device completion over the axon tunnel (measured: it returned
+    in ~0 ms on multi-ms programs), which silently turned these timings
+    into dispatch-RT measurements."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
 def timed(fn, *args, iters=20, warm=3):
     for _ in range(warm):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / iters * 1000.0, out
 
 
