@@ -212,3 +212,34 @@ def test_mixed_sampling_configs_per_slot(rt, sched):
     m = outs[2][1]
     assert m.frames == (m.tokens - 1) // 7
     assert len(outs[2][0]) == m.frames * P.SAMPLES_PER_FRAME * 2
+
+
+def test_vocoder_failure_delivers_errors(rt):
+    """An exception inside the batched vocode decode must surface as an
+    'error' event on every affected stream, not hang consumers — with the
+    two-stage worker the failure can happen at launch OR at fetch."""
+    s2 = Scheduler(rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer)
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("vocoder exploded")
+
+        s2.vocoder = type(rt.vocoder)(
+            rt.vocoder.params, rt.vocoder.cfg
+        )
+        s2.vocoder.decode_frames_batch_launch = boom
+        req = mk_req("will fail", seed=5, max_tokens=35)
+        s2.submit(req)
+        run_until_idle(s2)
+        s2.drain_vocoder(timeout=30)
+        kinds = []
+        while True:
+            try:
+                kind, payload = req.events.get(timeout=5)
+            except Exception:
+                break
+            kinds.append(kind)
+            if kind in ("done", "error"):
+                break
+        assert "error" in kinds, kinds
+    finally:
+        s2.stop()
