@@ -62,6 +62,10 @@ def test_index_and_health(client):
         assert "/ws/tts" in info["endpoints"]
         h = await (await c.get("/health")).json()
         assert h["status"] == "ok"
+        m = await (await c.get("/metrics")).json()
+        assert m["service"] == "tts_inference_tpu"
+        assert m["mode"] in ("single", "scheduler")
+        assert "requests_served" in m and "uptime_s" in m
         t = await c.get("/test")
         assert "WebSocket" in await t.text()
 

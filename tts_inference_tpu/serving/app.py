@@ -211,6 +211,49 @@ class Server:
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response({"status": "ok", "busy": self.lock.locked()})
 
+    async def metrics_endpoint(self, request: web.Request) -> web.Response:
+        """Fleet-level observability (SURVEY.md §5.5): server counters,
+        scheduler occupancy/queue depth, KV-pool headroom, prefix-cache hit
+        rates, device memory when the runtime exposes it — the standing
+        numbers a supervisor polls, complementing the per-request
+        `server_metrics` payload the reference defines."""
+        body: dict = {
+            "service": "tts_inference_tpu",
+            "uptime_s": round(time.time() - self.started_at, 1),
+            "requests_served": self.requests_served,
+            "mode": "scheduler" if self.scheduler is not None else "single",
+            "busy": self.lock.locked(),
+        }
+        m = self.metrics()
+        body["last_request"] = m.as_wire() if m is not None else None
+        if self.scheduler is not None:
+            s = self.scheduler
+            core = s.core
+            sch: dict = {
+                "slots": len(s.slots),
+                "active": s.n_active,
+                "queued": s.pending.qsize(),
+                "vocode_pending": s._vocode_pending,
+            }
+            if core.engine_cfg.paged_kv:
+                sch["kv_free_tokens"] = core.free_tokens()
+            if core.engine_cfg.prefix_cache:
+                sch["prefix_hits"] = core.prefix_hits
+                sch["prefix_misses"] = core.prefix_misses
+            body["scheduler"] = sch
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                body["device_memory"] = {
+                    k: int(v) for k, v in stats.items()
+                    if "bytes" in k
+                }
+        except Exception:  # noqa: BLE001 — axon returns None / no stats
+            pass
+        return web.json_response(body)
+
     async def test_page(self, request: web.Request) -> web.Response:
         return web.Response(text=TEST_PAGE, content_type="text/html")
 
@@ -510,6 +553,7 @@ def create_app(runtime, scheduler=None) -> web.Application:
     app.add_routes([
         web.get("/", server.index),
         web.get("/health", server.health),
+        web.get("/metrics", server.metrics_endpoint),
         web.get("/test", server.test_page),
         web.post("/generate", server.generate),
         web.post("/tts", server.generate),   # alias (tensorrt_tts/inference.py POST /tts)
