@@ -19,7 +19,7 @@ def test_soak_short():
     try:
         report = run_soak(
             sched, duration_s=6.0, warm_s=3.0, target_streams=3,
-            cancel_rate=0.15, seed=1,
+            cancel_rate=0.15, seed=1, rss_limit_mb=256.0,
         )
     finally:
         sched.stop()
