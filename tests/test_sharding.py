@@ -317,3 +317,45 @@ def test_lora_merge_matches_functional(params):
         (4, CFG.num_attention_heads * CFG.head_dim), np.float32
     )
     np.testing.assert_allclose(delta, want, atol=1e-5)
+
+
+def test_sharded_fused_admission_vocode_matches(mesh):
+    """The fused admission vocode (batched first-chunk PCM chained onto the
+    admission dispatch) under a (dp, tp) mesh: identical streams vs the
+    unsharded scheduler, allowing the documented ≤1 int16 LSB batched-conv
+    variation (tests/test_fused_admission_vocode.py)."""
+    import numpy as np
+
+    from tests.test_scheduler import drain, mk_req, run_until_idle
+    from tts_inference_tpu.config import MeshConfig
+    from tts_inference_tpu.engine.scheduler import Scheduler
+    from tts_inference_tpu.runtime import create_tiny_runtime
+
+    rt = create_tiny_runtime(seed=0)
+
+    def run(m):
+        s = Scheduler(
+            rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
+            mesh=m,
+        )
+        s.admission_steps = 28       # burst covers the 28-token first chunk
+        reqs = [mk_req(f"fused {i}", seed=50 + i, max_tokens=56)
+                for i in range(3)]
+        for r in reqs:
+            s.submit(r)
+        run_until_idle(s)
+        s.drain_vocoder()
+        out = [drain(r) for r in reqs]
+        used_fused = bool(s._pcm_cache)
+        s.stop()
+        return out, used_fused
+
+    sharded, fused_a = run(M.make_mesh(MeshConfig(dp=2, tp=2)))
+    unsharded, fused_b = run(None)
+    assert fused_a and fused_b     # the fused graph actually engaged
+    for (pcm_a, m_a), (pcm_b, m_b) in zip(sharded, unsharded):
+        assert m_a.tokens == m_b.tokens
+        a = np.frombuffer(pcm_a, np.int16).astype(np.int32)
+        b = np.frombuffer(pcm_b, np.int16).astype(np.int32)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() <= 1
