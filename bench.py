@@ -276,8 +276,9 @@ def main() -> int:
     ap.add_argument("--virtual-devices", type=int, default=None,
                     help="force N virtual CPU devices (sharding without "
                          "hardware; implies CPU platform)")
-    ap.add_argument("--iters", type=int, default=1,
-                    help="warm passes to median over (tunnel jitter)")
+    ap.add_argument("--iters", type=int, default=3,
+                    help="warm passes to median over (the dispatch tunnel "
+                         "adds ±30-50 ms jitter; single passes chase noise)")
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
     if args.virtual_devices:
