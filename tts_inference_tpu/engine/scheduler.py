@@ -284,9 +284,51 @@ class Scheduler:
         return req.iter_chunks(timeout=self.config.server.request_timeout_s)
 
     def warmup(self) -> dict:
-        """Compile every decode/prefill graph shape this scheduler can hit
-        (see EngineCore.warmup_graphs) — run once before serving traffic."""
-        return self.core.warmup_graphs()
+        """Compile every graph shape this scheduler can hit — engine
+        prefill/decode/admission (EngineCore.warmup_graphs), the batched
+        vocode at every (row bucket × frame bucket) the slot count reaches,
+        and the fused admission first-chunk graph. A shape first touched
+        mid-wave stalls every live stream for the compile/cache-load
+        (measured: a cold rb=8 vocode load added ~2.3 s to all 8 live
+        WS streams' TTFA)."""
+        info = self.core.warmup_graphs()
+        voc = self.vocoder
+        rbs = []
+        r = 1
+        while r <= self.core.batch:
+            rbs.append(r)
+            r *= 2
+        fbs = [b for b in voc.frame_buckets if b <= 64]
+        for rb in rbs:
+            for fb in fbs:
+                layers = [(
+                    np.zeros(fb, np.int32), np.zeros(2 * fb, np.int32),
+                    np.zeros(4 * fb, np.int32),
+                )] * rb
+                voc.decode_frames_batch(
+                    layers, first_frames=[0] * rb, noise_seeds=[0] * rb
+                )
+        scfg = self.config.stream
+        la = (scfg.first_chunk_lookahead
+              if scfg.first_chunk_lookahead is not None
+              else scfg.lookahead_frames)
+        nf = scfg.first_chunk_frames + la
+        n_codes = nf * protocol.FRAME_SIZE
+        emit = scfg.first_chunk_frames * voc.cfg.samples_per_frame
+        if self.fuse_admission_vocode and \
+                n_codes <= self.admission_steps + 1:
+            import jax.numpy as jnp
+
+            fn = self._admit_pcm_fn(n_codes, nf, emit)
+            toks = jnp.full(
+                (self.core.batch, self.admission_steps + 1),
+                protocol.TOKEN_AUDIO_BASE, jnp.int32,
+            )
+            np.asarray(fn(
+                toks, jnp.zeros(self.core.batch, jnp.uint32))[0])
+        info["warmed_vocode_rows"] = rbs
+        info["warmed_vocode_frames"] = fbs
+        return info
 
     def start(self) -> None:
         if self._thread is not None:

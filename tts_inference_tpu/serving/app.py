@@ -105,6 +105,15 @@ class Server:
         self.started_at = time.time()
         self.requests_served = 0
         self._last_metrics = None
+        # dedicated pool for per-request event pumps: each live scheduler
+        # stream parks one thread for its lifetime; the default executor
+        # (~cpu+4 workers) would starve other run_in_executor users at
+        # high stream counts
+        import concurrent.futures
+
+        self._pump_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=128, thread_name_prefix="ws-pump"
+        )
 
     # ---- generation bridge (blocking device loop → async chunks) ---------
 
@@ -165,12 +174,26 @@ class Server:
         )
         self.scheduler.submit(req)
         loop = asyncio.get_running_loop()
+        # one persistent pump thread per request (not one executor hop per
+        # EVENT — at 8 live WS streams the per-event submit+park round
+        # trips serialized chunk delivery)
+        aq: asyncio.Queue = asyncio.Queue()
+        timeout_s = self.rt.config.server.request_timeout_s
+
+        def pump():
+            while True:
+                try:
+                    item = req.events.get(timeout=timeout_s)
+                except Exception:
+                    item = ("error", "request timed out")
+                asyncio.run_coroutine_threadsafe(aq.put(item), loop).result()
+                if item[0] in ("done", "error"):
+                    return
+
+        task = loop.run_in_executor(self._pump_pool, pump)
         try:
             while True:
-                kind, payload = await loop.run_in_executor(
-                    None, req.events.get,
-                    True, self.rt.config.server.request_timeout_s,
-                )
+                kind, payload = await aq.get()
                 if kind == "chunk":
                     yield payload
                 elif kind == "done":
@@ -181,6 +204,8 @@ class Server:
         except BaseException:
             req.cancel()
             raise
+        finally:
+            await task
 
     def metrics(self):
         if self.scheduler is not None:
