@@ -39,6 +39,10 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--prefix-cache", action="store_true",
                    help="cache KV for repeated prompt prefixes (the "
                         "reference's vLLM enable_prefix_caching analog)")
+    p.add_argument("--kv-int8", action="store_true",
+                   help="int8 KV cache: 2x slot capacity, half attention "
+                        "read bandwidth (32-slot serving needs this to "
+                        "fit HBM)")
     p.add_argument("--paged-kv", action="store_true",
                    help="paged/blocked KV cache (block pool + per-slot "
                         "tables; capacity-gated admission)")
@@ -91,6 +95,8 @@ def _build_runtime(args):
         )
     if getattr(args, "prefix_cache", False):
         eng_over["prefix_cache"] = True
+    if getattr(args, "kv_int8", False):
+        eng_over["kv_cache_int8"] = True
     if getattr(args, "paged_kv", False):
         eng_over["paged_kv"] = True
     if getattr(args, "kv_pool_tokens", None):
