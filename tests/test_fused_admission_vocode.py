@@ -125,3 +125,44 @@ def test_fused_admission_under_churn(sched):
         assert pa.shape == pb.shape
         assert np.abs(pa - pb).max() <= 1
         assert ma.tokens == mb.tokens
+
+
+def test_unwarmed_geometry_falls_back_after_warmup(sched):
+    """ADVICE r2 (medium): once warmup has run, a request whose first-chunk
+    geometry was never warmed must take the vocode-worker path (no cold jit
+    compile on the scheduler thread) and still complete correctly."""
+    sched._pcm_warmed = True          # simulate post-warmup state
+    cached = dict(sched._pcm_cache)
+    try:
+        r = TTSRequest(
+            text="odd geometry", force_speech=True, noise_seed=5,
+            sampling=SamplingConfig(max_tokens=70, seed=5,
+                                    token_range=AUDIO_RANGE),
+            stream_cfg=StreamConfig(frames_per_chunk=2, lookahead_frames=1,
+                                    left_context_frames=4,
+                                    first_chunk_lookahead=0),
+        )
+        sched.submit(r)
+        chunks, m = drain(r)
+        assert m.tokens > 0 and chunks
+        # no new fused graph was compiled for the unwarmed geometry
+        assert set(sched._pcm_cache) == set(cached)
+    finally:
+        sched._pcm_warmed = False
+
+
+def test_admission_steps_cover_default_first_chunk():
+    """ADVICE r2 (low): at production defaults the fused admission path must
+    be geometrically eligible (admission burst covers the first chunk)."""
+    from tts_inference_tpu import protocol
+    from tts_inference_tpu.config import Config
+
+    cfg = Config()
+    scfg = cfg.stream
+    la = (scfg.first_chunk_lookahead
+          if scfg.first_chunk_lookahead is not None
+          else scfg.lookahead_frames)
+    n_codes = (scfg.first_chunk_frames + la) * protocol.FRAME_SIZE
+    # mirror Scheduler.__init__'s sizing without building an engine
+    admission_steps = max(2 * cfg.engine.decode_steps_per_call, n_codes - 1)
+    assert n_codes <= admission_steps + 1

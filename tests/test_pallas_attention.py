@@ -184,3 +184,101 @@ def test_paged_engine_with_pallas_kernel_matches():
     want = run(cfg, False)
     got = run(dataclasses.replace(cfg, use_pallas_attention=True), True)
     np.testing.assert_array_equal(got, want)
+
+
+# ---- int8 paged kernel (VERDICT r2 Missing #4: paged+int8 composability) ---
+
+
+@pytest.mark.parametrize("g", [3, 8])
+@pytest.mark.parametrize("wb", [2, 4])
+def test_paged_int8_kernel_matches_reference(g, wb):
+    from tts_inference_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_int8, paged_decode_attention_int8_reference,
+    )
+
+    rng = np.random.default_rng(3)
+    b, hkv, d, bs = 2, 4, 128, 16
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 128, size=(10, bs, hkv, d)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, size=(10, bs, hkv, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, bs, hkv)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, bs, hkv)), jnp.float32)
+    table = jnp.asarray([[1, 3, 5, 7][:wb], [8, 2, 6, 4][:wb]], jnp.int32)
+    pos = jnp.asarray([wb * bs // 3, wb * bs - 1], jnp.int32)
+    want = paged_decode_attention_int8_reference(q, kp, vp, ks, vs, table, pos)
+    got = paged_decode_attention_int8(q, kp, vp, ks, vs, table, pos,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_paged_int8_kernel_masks_past_position():
+    from tts_inference_tpu.ops.pallas.paged_attention import (
+        paged_decode_attention_int8,
+    )
+
+    rng = np.random.default_rng(4)
+    b, hkv, g, d, bs = 1, 2, 3, 128, 16
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 128, size=(6, bs, hkv, d)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, size=(6, bs, hkv, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, bs, hkv)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, bs, hkv)), jnp.float32)
+    table = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    pos = jnp.asarray([20], jnp.int32)
+    out1 = paged_decode_attention_int8(q, kp, vp, ks, vs, table, pos,
+                                       interpret=True)
+    kp2 = kp.at[3].set(99).at[4].set(99)
+    ks2 = ks.at[3].set(1.0).at[4].set(1.0)
+    out2 = paged_decode_attention_int8(q, kp2, vp, ks2, vs, table, pos,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_paged_int8_engine_with_pallas_kernel_matches():
+    """Paged int8-KV EngineCore with use_pallas_attention (interpret) equals
+    the XLA gather+dequant path — the highest-capacity serving config
+    (paged + int8) drives the int8 kernel."""
+    import contextlib
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tts_inference_tpu.config import (
+        EngineConfig, ModelConfig, SamplingConfig,
+    )
+    from tts_inference_tpu.engine.engine import EngineCore
+    from tts_inference_tpu.models import llama
+    from tts_inference_tpu.ops import sampling as S
+
+    cfg = ModelConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        head_dim=128, rope_scaling_factor=None, max_position_embeddings=512,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(
+        max_batch_size=2, max_input_len=32, max_output_len=96,
+        prefill_buckets=(16,), kv_buckets=(32, 64), decode_steps_per_call=3,
+        paged_kv=True, kv_block_size=16, kv_cache_int8=True,
+    )
+    params = llama.init_llama_params(jax.random.PRNGKey(0), cfg)
+    sp = S.SamplingParams.from_config(SamplingConfig(greedy=True), 2)
+    prompts = [[7, 8, 9, 10], [13, 14]]
+
+    def run(model_cfg, interp):
+        core = EngineCore(params, model_cfg, ecfg, eos_id=511)
+        ctx = (pltpu.force_tpu_interpret_mode() if interp
+               else contextlib.nullcontext())
+        with ctx:
+            t0, tok, act = core.prefill_decode_launch(
+                prompts, [0, 1], sp,
+                np.zeros(2, np.int32), np.zeros(2, bool), n=3,
+                reserve_extra=[24, 24],
+            )
+            t1, _, _ = core.decode_steps_launch(sp, tok, act)
+            return np.concatenate([np.asarray(t0), np.asarray(t1)], axis=1)
+
+    want = run(cfg, False)
+    got = run(dataclasses.replace(cfg, use_pallas_attention=True), True)
+    np.testing.assert_array_equal(got, want)

@@ -414,3 +414,31 @@ def test_parse_request_capacity_limits():
         defaults, sdefaults,
     )
     assert sc.frames_per_chunk == 9 and sc.lookahead_frames == 2
+
+
+def test_parse_request_casts_and_clamps_wire_values():
+    """ADVICE r2 (high): client-controllable stream geometry reaches jit
+    tracing — a float or negative wire value must be cast/clamped in
+    parse_request, never raise inside the scheduler's admission wave."""
+    from tts_inference_tpu.config import SamplingConfig, StreamConfig
+    from tts_inference_tpu.serving.app import parse_request
+
+    defaults, sdef = SamplingConfig(), StreamConfig()
+    _, _, s, sc, _ = parse_request(
+        {"text": "hi", "force_speech": True,
+         "first_chunk_lookahead": 0.5,          # the advisor's repro
+         "frames_per_chunk": 0, "lookahead_frames": -3,
+         "max_tokens": -5, "temperature": -1.0, "top_p": 7,
+         "seed": 3.0, "repetition_penalty": 0},
+        defaults, sdef,
+    )
+    assert isinstance(sc.first_chunk_lookahead, int)
+    assert sc.first_chunk_lookahead == 0
+    assert sc.frames_per_chunk >= 1
+    assert sc.lookahead_frames >= 0
+    assert s.max_tokens >= 1
+    assert s.temperature >= 0.0 and 0.0 <= s.top_p <= 1.0
+    assert isinstance(s.seed, int) and s.repetition_penalty > 0
+    # None passthrough preserved
+    _, _, _, sc2, _ = parse_request({"text": "x"}, defaults, sdef)
+    assert sc2.first_chunk_lookahead == sdef.first_chunk_lookahead

@@ -48,6 +48,13 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
                         "tables; capacity-gated admission)")
     p.add_argument("--kv-pool-tokens", type=int, default=None,
                    help="paged KV pool size in tokens")
+    p.add_argument("--kv-block-size", type=int, default=None,
+                   help="paged KV block size (tokens/block; must divide "
+                        "max_seq_len)")
+    p.add_argument("--kv-buckets", default=None,
+                   help="comma-separated KV attention-window buckets "
+                        "(default: doubling series auto-extended to "
+                        "max_seq_len — long-audio engines get 8192…)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (mesh tp axis over ICI)")
     p.add_argument("--dp", type=int, default=1,
@@ -101,10 +108,27 @@ def _build_runtime(args):
         eng_over["paged_kv"] = True
     if getattr(args, "kv_pool_tokens", None):
         eng_over["kv_pool_tokens"] = args.kv_pool_tokens
+    if getattr(args, "kv_block_size", None):
+        eng_over["kv_block_size"] = args.kv_block_size
+    if getattr(args, "kv_buckets", None):
+        eng_over["kv_buckets"] = tuple(
+            int(x) for x in args.kv_buckets.split(",")
+        )
     if eng_over:
         cfg = dataclasses.replace(
             cfg, engine=dataclasses.replace(cfg.engine, **eng_over)
         )
+    if not getattr(args, "kv_buckets", None):
+        # long-audio engines (e.g. the reference's 12,000-output-token
+        # hindi_canopy build) need window buckets past the default 4096 so
+        # mid-length decodes don't read the full max_seq window
+        from tts_inference_tpu.config import extended_kv_buckets
+
+        cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
+            cfg.engine, kv_buckets=extended_kv_buckets(
+                cfg.engine.kv_buckets, cfg.engine.max_seq_len
+            ),
+        ))
     return Runtime.create(
         cfg,
         model_path=args.model_path,

@@ -283,6 +283,24 @@ class Config:
         return dataclasses.replace(self, **sections)
 
 
+def extended_kv_buckets(base: Tuple[int, ...],
+                        max_seq: int) -> Tuple[int, ...]:
+    """Extend the KV window bucket series by doubling up to (but below)
+    max_seq — long-audio engines (reference: hindi_canopy 12,000-output-
+    token build, `build_engine.py:61,127-135`) otherwise jump straight
+    from the last default bucket to the full max_seq window and pay the
+    whole window's HBM read for mid-length sequences. kv_bucket() already
+    falls back to max_seq itself for the longest sequences."""
+    buckets = sorted({b for b in base if b < max_seq})
+    if not buckets:
+        return tuple(base)
+    b = buckets[-1]
+    while b * 2 < max_seq:
+        b *= 2
+        buckets.append(b)
+    return tuple(buckets)
+
+
 def tiny_config() -> Config:
     """Full-stack tiny config used by the test suite and CLI --tiny.
 

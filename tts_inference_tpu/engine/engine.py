@@ -104,10 +104,6 @@ class EngineCore:
         )
 
         if engine_cfg.paged_kv:
-            if engine_cfg.prefix_cache:
-                raise ValueError(
-                    "paged_kv + prefix_cache not supported together yet"
-                )
             bs_blk = engine_cfg.kv_block_size
             if self.max_seq % bs_blk:
                 raise ValueError(
@@ -354,7 +350,14 @@ class EngineCore:
     @staticmethod
     def _inject_prefix(cache, pools, pidx, inject_mask):
         """Gather pool rows by per-slot index and write them into cache
-        positions [0, PB) for slots in inject_mask."""
+        positions [0, PB) for slots in inject_mask. Dispatches on cache
+        type: dense slot caches take a per-slot dynamic_update_slice; paged
+        caches scatter through the block table (masked slots land in the
+        trash block, like any other masked paged write)."""
+        if isinstance(cache, llama.PagedKVCache):
+            return EngineCore._inject_prefix_paged(
+                cache, pools, pidx, inject_mask
+            )
         pool_k, pool_v, pool_ks, pool_vs = pools
 
         def inj(c, pool):
@@ -367,6 +370,36 @@ class EngineCore:
                 return jnp.where(m, upd, cb)
 
             return jax.vmap(one)(c, sel, inject_mask)
+
+        k = tuple(inj(c, p) for c, p in zip(cache.k, pool_k))
+        v = tuple(inj(c, p) for c, p in zip(cache.v, pool_v))
+        ks = tuple(inj(c, p) for c, p in zip(cache.k_scale, pool_ks))
+        vs = tuple(inj(c, p) for c, p in zip(cache.v_scale, pool_vs))
+        return cache._replace(k=k, v=v, k_scale=ks, v_scale=vs)
+
+    @staticmethod
+    def _inject_prefix_paged(cache, pools, pidx, inject_mask):
+        """Paged twin of _inject_prefix: prefix positions [0, PB) of slot i
+        live at pool rows table[i, p//bs] offset p%bs — one scatter per
+        layer per K/V (PB is small; the slot's blocks were reserved on the
+        host before this graph launched). Masked slots write the trash
+        block (row 0); duplicate trash indices leave unspecified values
+        only inside the never-attended trash block."""
+        pool_k, pool_v, pool_ks, pool_vs = pools
+        bs_blk = cache.block_size
+        pb = pool_k[0].shape[1]
+        b = cache.block_table.shape[0]
+        pos = jnp.arange(pb, dtype=jnp.int32)
+        rows = jnp.take_along_axis(
+            cache.block_table,
+            jnp.broadcast_to(pos[None, :] // bs_blk, (b, pb)), axis=1,
+        )
+        rows = jnp.where(inject_mask[:, None], rows, 0)    # (B, PB)
+        offs = jnp.broadcast_to(pos[None, :] % bs_blk, (b, pb))
+
+        def inj(c, pool):
+            sel = pool[pidx]                               # (B, PB, …)
+            return c.at[rows, offs].set(sel.astype(c.dtype), mode="drop")
 
         k = tuple(inj(c, p) for c, p in zip(cache.k, pool_k))
         v = tuple(inj(c, p) for c, p in zip(cache.v, pool_v))
@@ -564,10 +597,14 @@ class EngineCore:
 
     def kv_demand(self, prompt_len: int, max_tokens: int) -> int:
         """Tokens a request will reserve: padded prompt bucket + its token
-        budget + decode-call slack, rounded up to whole blocks."""
+        budget + decode-call slack, rounded up to whole blocks. With the
+        prefix cache, the injected prefix occupies block positions on top
+        of the suffix bucket — counted conservatively as prefix_len."""
         bs_blk = self.engine_cfg.kv_block_size
+        pfx = self.engine_cfg.prefix_len if self.engine_cfg.prefix_cache \
+            else 0
         total = min(
-            self.bucket_len(prompt_len) + max_tokens
+            self.bucket_len(prompt_len) + pfx + max_tokens
             + self.engine_cfg.decode_steps_per_call + 1,
             self.max_seq,
         )
@@ -614,6 +651,22 @@ class EngineCore:
                   else [self.engine_cfg.max_output_len] * len(prompts))
         slack = self.engine_cfg.decode_steps_per_call + 1
         totals = [min(bucket + e + slack, self.max_seq) for e in extras]
+        self._reserve_blocks(slots, totals)
+
+    def _maybe_reserve_prefix(self, slots, suffix_bucket, plens,
+                              reserve_extra) -> None:
+        """Paged reservation for prefix-cache admissions: each slot holds
+        its injected prefix [0, plen) plus the suffix bucket plus its token
+        budget (the prefix occupies real block positions, so it counts)."""
+        if not self.engine_cfg.paged_kv:
+            return
+        extras = (list(reserve_extra) if reserve_extra is not None
+                  else [self.engine_cfg.max_output_len] * len(slots))
+        slack = self.engine_cfg.decode_steps_per_call + 1
+        totals = [
+            min(int(plens[sl]) + suffix_bucket + e + slack, self.max_seq)
+            for sl, e in zip(slots, extras)
+        ]
         self._reserve_blocks(slots, totals)
 
     def reset_slots(self, slots: Sequence[int]) -> None:
@@ -778,6 +831,9 @@ class EngineCore:
             tokens, lens, ptoks, plens, pidx, mask, bounds = \
                 self._prefix_batch_arrays(prompts, slots)
             self.reset_and_seed(slots, seeds)
+            self._maybe_reserve_prefix(
+                slots, tokens.shape[1], plens, reserve_extra
+            )
             tok, self.cache, self.sampling_state = self._prefill_prefix(
                 self.params, jnp.asarray(tokens), jnp.asarray(lens),
                 jnp.asarray(ptoks), jnp.asarray(plens), jnp.asarray(pidx),
@@ -834,6 +890,9 @@ class EngineCore:
             tokens, lens, ptoks, plens, pidx, mask, bounds = \
                 self._prefix_batch_arrays(prompts, slots)
             self.reset_and_seed(slots, seeds)
+            self._maybe_reserve_prefix(
+                slots, tokens.shape[1], plens, reserve_extra
+            )
             for sl, b in bounds.items():
                 self._len_bounds[sl] = b
             needed = int(self._len_bounds.max(initial=0)) + n + 1
@@ -912,14 +971,24 @@ class EngineCore:
         return np.asarray(toks), np.asarray(tok), np.asarray(act)
 
     def warmup_graphs(self, timer: Optional["PhaseTimer"] = None,
-                      first_bursts: Sequence[int] = ()) -> dict:
+                      first_bursts: Sequence[int] = (),
+                      admission_ns: Optional[Sequence[int]] = None) -> dict:
         """Compile prefill (all buckets), fused prefill+decode, and decode
         at every KV window bucket this engine can reach.
 
         `first_bursts`: extra fused-call step counts to compile — the
         single-stream TTFA fast path sizes its first dispatch to cover the
         whole first audio chunk (prefill + burst-1 decode steps in ONE
-        dispatch)."""
+        dispatch). `admission_ns`: the scheduler's fused-admission step
+        counts (defaults to {n, 2n}).
+
+        Window coverage (ADVICE r2): the admitted prompt may be SHORTER
+        than its prefill bucket, so a bucket-b admission can need any
+        window from kv_bucket(min_len_in_bucket + nn + 2) up — each such
+        (bucket, window) pair is compiled here, with a probe whose length
+        lands the needed window exactly (falling back to a live-neighbor
+        length bound when the probe alone can't force a larger window).
+        """
         from tts_inference_tpu.utils.timing import PhaseTimer as _PT
 
         t = timer or _PT()
@@ -931,36 +1000,39 @@ class EngineCore:
         fused_ns = sorted({max(n - 1, 1)} | {
             max(int(b) - 1, 1) for b in first_bursts if b
         })
+        adm_ns = sorted({int(a) for a in admission_ns if a}
+                        if admission_ns else {n, 2 * n})
+        # every fused prefill+decode graph is keyed (bucket, nn, window) —
+        # the single-stream fused_ns and scheduler adm_ns share coverage
+        all_ns = sorted(set(fused_ns) | set(adm_ns))
         # with prefix_cache, the first prefix_len tokens are cached and the
         # SUFFIX picks the bucket — pad the probe so every bucket compiles
         # (the first probe also compiles the miss path: build + pool_put)
         plen = self.engine_cfg.prefix_len if self.engine_cfg.prefix_cache \
             else 0
+        adm_windows = sorted({self.kv_bucket(w) for w in
+                              list(self.engine_cfg.kv_buckets)
+                              + [self.max_seq] if w <= self.max_seq})
+        prev_b = 0
         for b in self.engine_cfg.prefill_buckets:
-            probe = [1] * (b + plen)  # suffix of length b lands in bucket b
+            min_len = prev_b + 1  # shortest prompt that lands in bucket b
+            probe_full = [1] * (b + plen)
             with t.phase(f"compile_prefill_{b}"):
-                self.prefill_slots([probe], [0], sp)
-            for nn in fused_ns:
-                with t.phase(f"compile_prefill_decode_{b}_n{nn}"):
-                    # single-stream TTFA path: smallest window
-                    toks, tok, act = self.prefill_decode_launch(
-                        [probe], [0], sp, zeros_tok, zeros_act, n=nn
-                    )
-                    np.asarray(toks)
-            # scheduler fused-admission path (admission_steps defaults to
-            # 2n — see Scheduler): admission picks the smallest KV window
-            # covering every live slot, so warm each (bucket, window) pair
-            # (one-time; the persistent XLA cache makes later runs cheap)
-            adm_windows = sorted({self.kv_bucket(w) for w in
-                                  list(self.engine_cfg.kv_buckets)
-                                  + [self.max_seq] if w <= self.max_seq})
-            for nn in sorted({n, 2 * n}):
+                self.prefill_slots([probe_full], [0], sp)
+            for nn in all_ns:
                 for w in adm_windows:
-                    if w < self.kv_bucket(b + nn + 1):
-                        continue  # window can't be smaller than the prompt
-                    with t.phase(f"compile_admission_{b}_n{nn}_w{w}"):
+                    # smallest window any bucket-b prompt can need at nn
+                    if w < self.kv_bucket(min_len + plen + nn + 2):
+                        continue
+                    # probe length that needs window w exactly
+                    length = min(b, max(min_len, w - plen - nn - 2))
+                    direct = self.kv_bucket(length + plen + nn + 2) == w
+                    if not direct and self.batch == 1:
+                        continue  # single-slot engines can't reach w here
+                    probe = [1] * ((length if direct else min_len) + plen)
+                    with t.phase(f"compile_prefill_decode_{b}_n{nn}_w{w}"):
                         saved = self._len_bounds.copy()
-                        if self.batch > 1:
+                        if not direct:
                             # a live neighbor at w-nn-1 forces window w
                             self._len_bounds[1] = max(w - nn - 1, 1)
                         try:
@@ -971,8 +1043,7 @@ class EngineCore:
                             np.asarray(toks)
                         finally:
                             self._len_bounds[:] = saved
-                    if self.batch == 1:
-                        break  # only one reachable window per (b, nn)
+            prev_b = b
         windows = sorted({self.kv_bucket(w) for w in
                           list(self.engine_cfg.kv_buckets) + [self.max_seq]
                           if w <= self.max_seq} | {self.kv_bucket(1)})

@@ -26,12 +26,15 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import logging
 import queue
 import threading
 import time
 from typing import List, Optional
 
 import numpy as np
+
+log = logging.getLogger("tts_inference_tpu.scheduler")
 
 from tts_inference_tpu import protocol
 from tts_inference_tpu.config import Config, SamplingConfig, StreamConfig
@@ -227,6 +230,12 @@ class Scheduler:
         # 8-stream TTFA, measured)
         self._pcm_cache: dict = {}
         self.fuse_admission_vocode = True
+        # after warmup(), only geometries already in _pcm_cache take the
+        # fused path — an unwarmed geometry would jit-compile on the
+        # scheduler thread mid-admission, stalling every live stream for
+        # seconds; it falls back to the vocode worker instead
+        self._pcm_warmed = False
+        self._geo_warned: set = set()
         # async vocode worker: the scheduler thread only PLANS windows (and
         # advances emission bookkeeping); the worker runs the batched device
         # decode + host fetch + chunk emission, so decode launches never
@@ -258,8 +267,19 @@ class Scheduler:
         self.pipeline_depth = 2
         # admission runs extra decode steps in its single fused dispatch so
         # a fresh stream's first chunk tokens (~28) arrive one round-trip
-        # sooner (TTFA p95 lever; warmed in EngineCore.warmup_graphs)
-        self.admission_steps = 2 * config.engine.decode_steps_per_call
+        # sooner (TTFA p95 lever; warmed in EngineCore.warmup_graphs).
+        # Sized to cover the DEFAULT first chunk (first_chunk_frames +
+        # lookahead frames of codes) so the fused admission-vocode path is
+        # live under production `serve` defaults, not just bench overrides.
+        scfg0 = config.stream
+        la0 = (scfg0.first_chunk_lookahead
+               if scfg0.first_chunk_lookahead is not None
+               else scfg0.lookahead_frames)
+        first_chunk_codes = (scfg0.first_chunk_frames + la0) * \
+            protocol.FRAME_SIZE
+        self.admission_steps = max(
+            2 * config.engine.decode_steps_per_call, first_chunk_codes - 1
+        )
         self._inflight = collections.deque()
         # requests that fit a free slot but not the paged-KV pool wait here
         # (FIFO ahead of `pending`) until blocks free up
@@ -291,7 +311,10 @@ class Scheduler:
         mid-wave stalls every live stream for the compile/cache-load
         (measured: a cold rb=8 vocode load added ~2.3 s to all 8 live
         WS streams' TTFA)."""
-        info = self.core.warmup_graphs()
+        info = self.core.warmup_graphs(
+            admission_ns=[self.admission_steps,
+                          self.config.engine.decode_steps_per_call]
+        )
         voc = self.vocoder
         rbs = []
         r = 1
@@ -326,6 +349,12 @@ class Scheduler:
             )
             np.asarray(fn(
                 toks, jnp.zeros(self.core.batch, jnp.uint32))[0])
+        else:
+            self._warn_geo((n_codes, nf, emit),
+                           "first chunk exceeds the admission burst "
+                           "(raise admission_steps or shrink the chunk)")
+        # from here on, only warmed geometries take the fused path
+        self._pcm_warmed = True
         info["warmed_vocode_rows"] = rbs
         info["warmed_vocode_frames"] = fbs
         return info
@@ -412,6 +441,16 @@ class Scheduler:
         )
         return protocol.format_prompt_ids(ids, force_speech=req.force_speech)
 
+    def _warn_geo(self, geo, why: str) -> None:
+        """Log (once per geometry) when the fused admission-vocode path is
+        skipped — visibility into why a stream's first chunk takes the
+        slower host vocode path (ADVICE r2)."""
+        if geo in self._geo_warned:
+            return
+        self._geo_warned.add(geo)
+        log.info("fused admission vocode disabled for geometry "
+                 "(n_codes=%d, nf=%d, emit=%d): %s", *geo, why)
+
     def _admit_pcm_fn(self, n_codes: int, nf: int, emit: int):
         """Batched first-PCM graph: admission token buffer (B, n+1) →
         (pcm (B, emit) int16, ok (B,) bool). Row r is slot r's first
@@ -493,6 +532,12 @@ class Scheduler:
             g = (n_codes, nf, emit)
             if n_codes > toks_d.shape[1] or \
                     req.sampling.max_tokens < n_codes:
+                self._warn_geo(g, "first chunk exceeds the admission burst")
+                continue
+            if self._pcm_warmed and g not in self._pcm_cache:
+                # unwarmed geometry: compiling here would stall every live
+                # stream (measured ~2.3 s) — the vocode worker handles it
+                self._warn_geo(g, "geometry not warmed")
                 continue
             if geo is None:
                 geo = g
@@ -542,12 +587,14 @@ class Scheduler:
             # only what the KV block pool can hold; the rest waits its turn
             bs_blk = self.config.engine.kv_block_size
             slack = self.config.engine.decode_steps_per_call + 1
+            pfx = (self.config.engine.prefix_len
+                   if self.config.engine.prefix_cache else 0)
             while batch:
                 bucket = self.core.bucket_len(
                     max(len(p) for _, _, p in batch)
                 )
                 demand = sum(
-                    -(-min(bucket + r.sampling.max_tokens + slack,
+                    -(-min(bucket + pfx + r.sampling.max_tokens + slack,
                            self.core.max_seq) // bs_blk) * bs_blk
                     for _, r, _ in batch
                 )
@@ -585,7 +632,15 @@ class Scheduler:
             prompts, slots_idx, sp_arr, self._last_tok, self._active,
             reserve_extra=extras, n=self.admission_steps, seeds=seeds,
         )
-        fused_pcm = self._launch_admit_pcm(toks, batch)
+        try:
+            fused_pcm = self._launch_admit_pcm(toks, batch)
+        except Exception as e:  # noqa: BLE001 — degrade, don't fail the wave
+            # the fused first chunk is an optimization; any failure here
+            # (bad geometry, compile error) must fall back to the host
+            # vocode path, not fail_all() every live request
+            log.warning("fused admission vocode failed (%s: %s); falling "
+                        "back to vocode worker", type(e).__name__, e)
+            fused_pcm = None
         admitted = set(slots_idx)
         # output column 0 repeats the last (already processed) token of
         # slots that were active before this admission

@@ -385,21 +385,28 @@ def _layer(
         use_kernel = cfg.use_pallas_attention or (
             jax.default_backend() == "tpu"
         )
-        if s == 1 and use_kernel and ks is None:
+        if s == 1 and use_kernel:
             # paged decode hot path: the Pallas kernel streams pool blocks
             # through VMEM once, driven by the block table — no gathered
             # window temp in HBM (ops/pallas/paged_attention.py). Default ON
             # for TPU: measured 0.73 ms/layer vs 1.50 ms for the XLA gather
             # at (B=8, W=512) — paged without the kernel is strictly worse
-            # (PERF.md); fp pools only, int8 pools keep the gather path.
+            # (PERF.md). int8 pools dequant in VMEM right after the DMA
+            # (half the HBM bytes of the fp kernel).
             from tts_inference_tpu.ops.pallas.paged_attention import (
                 paged_decode_attention,
+                paged_decode_attention_int8,
             )
 
             qg = q.reshape(b, nkv, nq // nkv, hd)
-            attn = paged_decode_attention(
-                qg, cache_k, cache_v, idx, write_pos
-            ).reshape(b, 1, nq, hd)
+            if ks is None:
+                attn = paged_decode_attention(
+                    qg, cache_k, cache_v, idx, write_pos
+                ).reshape(b, 1, nq, hd)
+            else:
+                attn = paged_decode_attention_int8(
+                    qg, cache_k, cache_v, ks, vs, idx, write_pos
+                ).reshape(b, 1, nq, hd)
         else:
             # XLA paged view: gather the window's blocks from the pool into
             # a dense (B, window, Hkv, D) temp — correct everywhere (CPU

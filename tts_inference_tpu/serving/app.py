@@ -55,24 +55,34 @@ def parse_request(data: dict, defaults: SamplingConfig,
     """Per-request JSON fields (reference contract:
     comprehensive_sweep.py:143-150 + our extensions)."""
     text = (data.get("text") or "")[: protocol.MAX_TEXT_CHARS]
-    voice = data.get("voice", "tara")
+    voice = str(data.get("voice", "tara"))
     # capacity limits (reference: spec.md:133-135 — 2000 chars / 120 s audio)
     max_audio_tokens = int(
         protocol.MAX_AUDIO_SECONDS * protocol.SAMPLE_RATE
         / protocol.SAMPLES_PER_FRAME * protocol.FRAME_SIZE
     )
+    # every numeric field is cast AND clamped here: stream geometry reaches
+    # jit tracing (scheduler._admit_pcm_fn slices with n_codes) — a float or
+    # negative value from the wire must never make it into a graph shape
+    # (one malformed request would otherwise fail the whole admission wave)
     sampling = dataclasses.replace(
         defaults,
-        temperature=float(data.get("temperature", defaults.temperature)),
-        top_p=float(data.get("top_p", defaults.top_p)),
-        repetition_penalty=float(
-            data.get("repetition_penalty", defaults.repetition_penalty)
+        temperature=max(
+            0.0, float(data.get("temperature", defaults.temperature))
         ),
-        max_tokens=min(
+        top_p=min(1.0, max(
+            0.0, float(data.get("top_p", defaults.top_p))
+        )),
+        repetition_penalty=max(0.01, float(
+            data.get("repetition_penalty", defaults.repetition_penalty)
+        )),
+        max_tokens=max(1, min(
             int(data.get("max_tokens", defaults.max_tokens)),
             max_audio_tokens,
+        )),
+        seed=(lambda v: None if v is None else int(v))(
+            data.get("seed", defaults.seed)
         ),
-        seed=data.get("seed", defaults.seed),
         token_range=AUDIO_RANGE if data.get("audio_only") else defaults.token_range,
         frame_protocol=bool(
             data.get("frame_protocol", defaults.frame_protocol)
@@ -80,14 +90,15 @@ def parse_request(data: dict, defaults: SamplingConfig,
     )
     stream_cfg = dataclasses.replace(
         stream_defaults,
-        frames_per_chunk=int(
+        frames_per_chunk=max(1, int(
             data.get("frames_per_chunk", stream_defaults.frames_per_chunk)
-        ),
-        lookahead_frames=int(
+        )),
+        lookahead_frames=max(0, int(
             data.get("lookahead_frames", stream_defaults.lookahead_frames)
-        ),
-        first_chunk_lookahead=data.get(
-            "first_chunk_lookahead", stream_defaults.first_chunk_lookahead
+        )),
+        first_chunk_lookahead=(lambda v: None if v is None else max(0, int(v)))(
+            data.get("first_chunk_lookahead",
+                     stream_defaults.first_chunk_lookahead)
         ),
     )
     opts = {
@@ -181,12 +192,29 @@ class Server:
         timeout_s = self.rt.config.server.request_timeout_s
 
         def pump():
+            # Short-poll instead of one long blocking get: a cancelled
+            # request (client disconnect) whose terminal event never comes
+            # (e.g. still queued behind a long backlog) must release this
+            # pool worker promptly, not after the full request timeout.
+            deadline = time.monotonic() + timeout_s
             while True:
                 try:
-                    item = req.events.get(timeout=timeout_s)
+                    item = req.events.get(timeout=0.25)
                 except Exception:
-                    item = ("error", "request timed out")
-                asyncio.run_coroutine_threadsafe(aq.put(item), loop).result()
+                    if req.cancelled:
+                        item = ("done", None)
+                    elif time.monotonic() > deadline:
+                        item = ("error", "request timed out")
+                    else:
+                        continue
+                try:
+                    # bounded: if the event loop stopped, exit instead of
+                    # parking this worker forever on an orphaned future
+                    asyncio.run_coroutine_threadsafe(
+                        aq.put(item), loop
+                    ).result(timeout=30.0)
+                except Exception:
+                    return
                 if item[0] in ("done", "error"):
                     return
 
