@@ -34,12 +34,12 @@ def build_runtime(smoke: bool, quantize: bool = False,
                   kv_int8: bool = False, tp: int = 1, dp: int = 1,
                   prefix_cache: bool = False, paged_kv: bool = False,
                   kv_pool_tokens=None, pallas_attention: bool = False,
-                  first_lookahead=None):
+                  first_lookahead=None, max_output: int = 2048):
     import dataclasses
 
     from tts_inference_tpu.config import (
         Config, EngineConfig, MeshConfig, ModelConfig, StreamConfig,
-        tiny_config,
+        extended_kv_buckets, tiny_config,
     )
     from tts_inference_tpu.runtime import Runtime
 
@@ -52,11 +52,12 @@ def build_runtime(smoke: bool, quantize: bool = False,
         if tp * dp > 1:
             cfg = dataclasses.replace(cfg, mesh=mesh_cfg)
         return Runtime.create(cfg, warmup=False)
+    base_eng = EngineConfig()
     cfg = Config(
         model=ModelConfig(use_pallas_attention=pallas_attention),
         engine=EngineConfig(
             max_input_len=128,
-            max_output_len=2048,
+            max_output_len=max_output,
             max_batch_size=slots,
             prefill_buckets=(128,),
             decode_steps_per_call=steps_per_call,
@@ -64,6 +65,9 @@ def build_runtime(smoke: bool, quantize: bool = False,
             prefix_cache=prefix_cache,
             paged_kv=paged_kv,
             kv_pool_tokens=kv_pool_tokens,
+            kv_buckets=extended_kv_buckets(
+                base_eng.kv_buckets, 128 + max_output
+            ),
         ),
         # match the per-request stream settings so the TTFA first-burst
         # graph gets registered/warmed for this exact configuration
@@ -236,11 +240,15 @@ def run_concurrent(rt, tokens: int, streams: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("single", "concurrent"),
+    ap.add_argument("--mode", choices=("single", "concurrent", "long"),
                     default="concurrent")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=420)
+    ap.add_argument("--long-seconds", type=float, default=102.0,
+                    help="long mode: audio seconds per stream (the "
+                         "reference's long-audio engine class: 12k-token "
+                         "builds ≈145 s, hindi_canopy/build_engine.py)")
     ap.add_argument("--no-quantize", dest="quantize", action="store_false",
                     help="disable int8 weight-only quantization (the "
                          "default serving configuration)")
@@ -295,12 +303,43 @@ def main() -> int:
 
     if args.steps_per_call is None:
         args.steps_per_call = 7 if args.mode == "single" else 14
+    max_output = 2048
+    if args.mode == "long":
+        # the reference's long-audio engine class (12,000 output tokens,
+        # hindi_canopy/build_engine.py:61): paged KV is what makes a
+        # 12.5k-token per-slot budget affordable at batch ≥4
+        import math
+
+        from tts_inference_tpu import protocol as P
+
+        args.tokens = math.ceil(
+            args.long_seconds * P.SAMPLE_RATE / P.SAMPLES_PER_FRAME
+        ) * P.FRAME_SIZE
+        max_output = 12000
+        args.paged_kv = True
+        if args.slots == 8:
+            args.slots = 4
+        if args.streams == 8:
+            args.streams = 4
+        if args.kv_pool_tokens is None:
+            args.kv_pool_tokens = args.slots * (128 + max_output + 16)
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
                        args.slots, args.kv_int8, args.tp, args.dp,
                        args.prefix_cache, args.paged_kv,
                        args.kv_pool_tokens, args.pallas_attention,
-                       args.first_lookahead)
-    if args.mode == "single":
+                       args.first_lookahead, max_output)
+    if args.mode == "long":
+        warm = run_concurrent(rt, args.tokens, args.streams,
+                              args.native_protocol, args.pipeline_depth,
+                              max(1, args.iters - 1))
+        result = {
+            "metric": (f"long_audio_aggregate_rtf_{args.streams}streams_"
+                       f"{int(args.long_seconds)}s"),
+            "value": round(warm["aggregate_rtf"], 4),
+            "unit": "x_realtime",
+            "vs_baseline": round(warm["aggregate_rtf"] / BASELINE_RTF, 4),
+        }
+    elif args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead, args.iters)
         result = {
             "metric": "warm_streaming_rtf",

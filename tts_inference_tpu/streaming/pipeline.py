@@ -187,6 +187,7 @@ class TTSPipeline:
             # prompt already ends in SOS — audio tokens start immediately
             extractor.started = True
         la = LookaheadStreamingDecoder(self.vocoder, scfg, noise_seed)
+        self.last_lookahead = la   # decode-work stats (O(n) windowing)
 
         chunk_index = 0
 
@@ -248,6 +249,7 @@ class TTSPipeline:
                     la = LookaheadStreamingDecoder(
                         self.vocoder, scfg, noise_seed
                     )
+                    self.last_lookahead = la
             if new_codes:
                 la.feed(new_codes)
                 if fused:
