@@ -34,7 +34,9 @@ def build_runtime(smoke: bool, quantize: bool = False,
                   kv_int8: bool = False, tp: int = 1, dp: int = 1,
                   prefix_cache: bool = False, paged_kv: bool = False,
                   kv_pool_tokens=None, pallas_attention: bool = False,
-                  first_lookahead=None, max_output: int = 2048):
+                  first_lookahead=None, max_output: int = 2048,
+                  tokenizer_path=None, prefill_buckets=(128,),
+                  qos: dict | None = None):
     import dataclasses
 
     from tts_inference_tpu.config import (
@@ -49,9 +51,13 @@ def build_runtime(smoke: bool, quantize: bool = False,
         if prefix_cache:
             cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
                 cfg.engine, prefix_cache=True))
+        if qos:
+            cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
+                cfg.engine, **qos))
         if tp * dp > 1:
             cfg = dataclasses.replace(cfg, mesh=mesh_cfg)
-        return Runtime.create(cfg, warmup=False)
+        return Runtime.create(cfg, warmup=False,
+                              tokenizer_path=tokenizer_path)
     base_eng = EngineConfig()
     cfg = Config(
         model=ModelConfig(use_pallas_attention=pallas_attention),
@@ -59,7 +65,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             max_input_len=128,
             max_output_len=max_output,
             max_batch_size=slots,
-            prefill_buckets=(128,),
+            prefill_buckets=tuple(prefill_buckets),
             decode_steps_per_call=steps_per_call,
             kv_cache_int8=kv_int8,
             prefix_cache=prefix_cache,
@@ -68,6 +74,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             kv_buckets=extended_kv_buckets(
                 base_eng.kv_buckets, 128 + max_output
             ),
+            **(qos or {}),
         ),
         # match the per-request stream settings so the TTFA first-burst
         # graph gets registered/warmed for this exact configuration
@@ -76,7 +83,8 @@ def build_runtime(smoke: bool, quantize: bool = False,
                             first_chunk_lookahead=first_lookahead),
         mesh=mesh_cfg,
     )
-    return Runtime.create(cfg, warmup=False, quantize=quantize)
+    return Runtime.create(cfg, warmup=False, quantize=quantize,
+                          tokenizer_path=tokenizer_path)
 
 
 def sampling_for(tokens: int, seed: int):
@@ -150,7 +158,8 @@ def run_single(rt, tokens: int, first_lookahead=None, iters: int = 1) -> dict:
 
 def run_concurrent(rt, tokens: int, streams: int,
                    use_native: bool = False,
-                   pipeline_depth: int = 2, iters: int = 1) -> dict:
+                   pipeline_depth: int = 2, iters: int = 1,
+                   token_list=None) -> dict:
 
     import numpy as np
 
@@ -168,7 +177,9 @@ def run_concurrent(rt, tokens: int, streams: int,
         reqs = [
             TTSRequest(
                 text=TEXT, voice="tara",
-                sampling=sampling_for(tokens, seed=100 + i),
+                sampling=sampling_for(
+                    token_list[i] if token_list else tokens, seed=100 + i
+                ),
                 stream_cfg=stream_cfg(), force_speech=True,
             )
             for i in range(streams)
@@ -212,7 +223,7 @@ def run_concurrent(rt, tokens: int, streams: int,
             s["audio_s"] = s["samples"] / P.SAMPLE_RATE
             s["max_gap_ms"] = max(s["gaps"]) if s["gaps"] else 0.0
         total_audio = sum(s["audio_s"] for s in stats.values())
-        return {
+        out = {
             "wall_s": wall,
             "audio_s": total_audio,
             "aggregate_rtf": total_audio / wall,
@@ -222,6 +233,20 @@ def run_concurrent(rt, tokens: int, streams: int,
             "worst_gap_ms": max(s["max_gap_ms"] for s in stats.values()),
             "streams": streams,
         }
+        if token_list:
+            # per-class TTFA split for the QoS mode: "short" = the minority
+            # class with the smaller token budget
+            short_t = min(token_list)
+            for name, sel in (("short", lambda i: token_list[i] == short_t),
+                              ("long", lambda i: token_list[i] != short_t)):
+                vals = [stats[i]["ttfa_ms"] for i in range(streams)
+                        if sel(i)]
+                if vals:
+                    out[f"{name}_ttfa_p95_ms"] = float(
+                        np.percentile(vals, 95))
+                    out[f"{name}_ttfa_med_ms"] = float(np.median(vals))
+                    out[f"{name}_n"] = len(vals)
+        return out
 
     try:
         one_pass()           # cold (compiles)
@@ -240,7 +265,8 @@ def run_concurrent(rt, tokens: int, streams: int,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("single", "concurrent", "long"),
+    ap.add_argument("--mode",
+                    choices=("single", "concurrent", "long", "qos"),
                     default="concurrent")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--streams", type=int, default=8)
@@ -287,6 +313,12 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=3,
                     help="warm passes to median over (the dispatch tunnel "
                          "adds ±30-50 ms jitter; single passes chase noise)")
+    ap.add_argument("--real-tokenizer", action="store_true",
+                    help="use a REAL BPE tokenizer (tiny trained fixture, "
+                         "tools/tokenizer_fixture.py) + 16/32/64/128 "
+                         "prefill buckets — the production tokenizer path; "
+                         "a real prompt lands in the 32 bucket instead of "
+                         "the 128 one byte-fallback ids force (TTFA)")
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
     if args.virtual_devices:
@@ -304,6 +336,33 @@ def main() -> int:
     if args.steps_per_call is None:
         args.steps_per_call = 7 if args.mode == "single" else 14
     max_output = 2048
+    qos_cfg = None
+    token_list = None
+    if args.mode == "qos":
+        # oversubscription QoS (VERDICT r2 #4; reference goal ~100 users,
+        # spec.md:137-139): 2×-slots mixed demand, shorts submitted LAST
+        # (the adversarial order for FIFO). sjf + reserved short slots must
+        # keep short-request TTFA bounded while longs still finish.
+        if args.smoke:
+            args.streams = 6   # tiny CPU runtime has 4 slots
+            n_short = 2
+            token_list = [70] * 4 + [14] * n_short
+            qos_cfg = dict(admission_policy="sjf",
+                           reserved_short_slots=1,
+                           short_request_tokens=14)
+        else:
+            if args.slots == 8:
+                args.slots = 32
+            if args.streams == 8:
+                args.streams = 2 * args.slots
+            args.kv_int8 = True
+            n_short = args.streams // 4
+            token_list = [420] * (args.streams - n_short) + [84] * n_short
+            qos_cfg = dict(
+                admission_policy="sjf",
+                reserved_short_slots=max(2, args.slots // 8),
+                short_request_tokens=128,
+            )
     if args.mode == "long":
         # the reference's long-audio engine class (12,000 output tokens,
         # hindi_canopy/build_engine.py:61): paged KV is what makes a
@@ -323,11 +382,28 @@ def main() -> int:
             args.streams = 4
         if args.kv_pool_tokens is None:
             args.kv_pool_tokens = args.slots * (128 + max_output + 16)
+    tokenizer_path = None
+    prefill_buckets = (128,)
+    if args.real_tokenizer:
+        import os
+        import tempfile
+
+        from tts_inference_tpu.tools.tokenizer_fixture import (
+            write_tiny_tokenizer,
+        )
+
+        tokenizer_path = os.path.join(
+            tempfile.gettempdir(), "tts_bench_tokenizer"
+        )
+        if not os.path.exists(os.path.join(tokenizer_path, "tokenizer.json")):
+            write_tiny_tokenizer(tokenizer_path)
+        prefill_buckets = (16, 32, 64, 128)
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
                        args.slots, args.kv_int8, args.tp, args.dp,
                        args.prefix_cache, args.paged_kv,
                        args.kv_pool_tokens, args.pallas_attention,
-                       args.first_lookahead, max_output)
+                       args.first_lookahead, max_output,
+                       tokenizer_path, prefill_buckets, qos_cfg)
     if args.mode == "long":
         warm = run_concurrent(rt, args.tokens, args.streams,
                               args.native_protocol, args.pipeline_depth,
@@ -338,6 +414,20 @@ def main() -> int:
             "value": round(warm["aggregate_rtf"], 4),
             "unit": "x_realtime",
             "vs_baseline": round(warm["aggregate_rtf"] / BASELINE_RTF, 4),
+        }
+    elif args.mode == "qos":
+        warm = run_concurrent(rt, args.tokens, args.streams,
+                              args.native_protocol, args.pipeline_depth,
+                              max(1, args.iters - 1), token_list=token_list)
+        # vs_baseline: improvement over the round-2 FIFO measurement of the
+        # same 64-on-32 scenario (p95 TTFA 6.5 s for ALL requests, PERF.md)
+        result = {
+            "metric": (f"qos_short_ttfa_p95_ms_{args.streams}on"
+                       f"{args.slots}"),
+            "value": round(warm["short_ttfa_p95_ms"], 1),
+            "unit": "ms",
+            "vs_baseline": round(6500.0 / max(warm["short_ttfa_p95_ms"],
+                                              1e-9), 2),
         }
     elif args.mode == "single":
         warm = run_single(rt, args.tokens, args.first_lookahead, args.iters)

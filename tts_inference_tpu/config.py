@@ -174,7 +174,11 @@ class EngineConfig:
     max_input_len: int = 512
     max_output_len: int = 4096
     max_batch_size: int = 8          # continuous-batching slots
-    prefill_buckets: Tuple[int, ...] = (64, 128, 256, 512)
+    # 16/32 buckets: a real-BPE prompt ("tara: <sentence>" ≈ 10-25 ids incl.
+    # the protocol envelope) prefills a 16/32-token graph instead of the 128
+    # one a byte-tokenized prompt forces — measured ~27 ms off bit-exact TTFA
+    # (PERF.md round-2 attribution; round-3 campaign re-measures).
+    prefill_buckets: Tuple[int, ...] = (16, 32, 64, 128, 256, 512)
     decode_steps_per_call: int = protocol.FRAME_SIZE  # host sync cadence
     # KV attention-window buckets: the decode step reads only the smallest
     # bucket covering the longest live sequence (HBM-bound step; reading all
@@ -209,6 +213,24 @@ class EngineConfig:
     prefix_cache: bool = False
     prefix_len: int = 32          # cached prefix bucket (tokens)
     prefix_entries: int = 16      # pool capacity (LRU)
+    # --- Admission QoS under oversubscription (reference roadmap: ~100
+    # concurrent users, spec.md:137-139). Strict FIFO gives every request
+    # the same multi-second p95 TTFA once the queue exceeds the slots;
+    # "sjf" ranks the backlog shortest-job-first with aging so short
+    # interactive requests stop queueing behind long-audio jobs, and
+    # reserved slots guarantee shorts always have capacity to land in.
+    admission_policy: str = "fifo"   # "fifo" | "sjf" (shortest-first+aging)
+    # Aging bound on starvation: a queued job's effective length shrinks by
+    # max_output_len per sjf_aging_ms waited, so after ~sjf_aging_ms any
+    # long job outranks a freshly arrived short one.
+    sjf_aging_ms: float = 4000.0
+    # Slots only "short" requests may occupy (0 = none reserved). Long
+    # requests are confined to the remaining slots, so a burst of
+    # long-audio work can never consume the whole machine.
+    reserved_short_slots: int = 0
+    # "short" = sampling.max_tokens ≤ this (896 tokens = 128 frames ≈ 10.9 s
+    # of audio — interactive-utterance territory).
+    short_request_tokens: int = 896
     compilation_cache_dir: Optional[str] = None
 
     @property

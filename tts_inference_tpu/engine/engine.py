@@ -188,7 +188,7 @@ class EngineCore:
             )
             pd_kw = dict(
                 in_shardings=(psh, dp2, dp, cache_sh, sstate_sh, sparams_sh,
-                              dp, dp, dp),
+                              dp, dp, dp, dp, dp),
                 out_shardings=(dp2, dp, dp, cache_sh, sstate_sh),
             )
 
@@ -277,7 +277,7 @@ class EngineCore:
                 pdpfx_kw = dict(
                     in_shardings=(psh_, dp2_, dp_, dp2_, dp_, dp_, pools_sh,
                                   cache_sh_, sstate_sh_, sparams_sh_, dp_,
-                                  dp_, dp_),
+                                  dp_, dp_, dp_, dp_),
                     out_shardings=(dp2_, dp_, dp_, cache_sh_, sstate_sh_),
                 )
             # (params, ptoks (1, PB), plen (1,)) → per-layer prefix KV
@@ -450,10 +450,13 @@ class EngineCore:
     def _prefill_decode_prefix_impl(
         model_cfg, logits_base, eos_id, n_steps, kv_window, params, tokens,
         lens, ptoks, plens, pidx, pools, cache, sstate, sparams, slot_mask,
-        last_tok, active,
+        last_tok, active, seeds, reseed,
     ):
-        """Fused prefix-prefill + n decode steps (one dispatch, same TTFA
-        saving as _prefill_decode_impl)."""
+        """Fused slot-reset + prefix-prefill + n decode steps (one dispatch,
+        same TTFA saving as _prefill_decode_impl)."""
+        cache, sstate = EngineCore._reset_seed_impl(
+            cache, sstate, slot_mask, seeds, reseed
+        )
         ptok, cache, sstate = EngineCore._prefix_prefill_core(
             model_cfg, logits_base, params, tokens, lens, ptoks, plens,
             pidx, pools, cache, sstate, sparams, slot_mask,
@@ -507,17 +510,23 @@ class EngineCore:
     def _prefill_decode_impl(
         model_cfg, logits_base, eos_id, n_steps, kv_window, params, tokens,
         lens, cache, sstate, sparams, slot_mask, last_tok, active,
+        seeds, reseed,
     ):
-        """Fused prefill + n decode steps in ONE dispatch.
+        """Fused slot-reset + prefill + n decode steps in ONE dispatch.
 
-        Saves a host round-trip on the TTFA-critical path: the prompt
-        prefills, its first token samples, and n more tokens decode without
-        the host ever seeing the intermediate state. Non-admitted slots keep
-        decoding with their own last_tok/active (so the scheduler could use
-        this as a combined admit+tick too). Returns (toks (B, n+1), tok,
-        active, cache, sstate) where column 0 is the prefill-sampled token
-        (EOS-padded for non-admitted slots only in later columns).
+        Saves TWO host round-trips on the TTFA-critical path: the admitted
+        slots' reset+reseed (previously a separate _reset_seed dispatch),
+        the prompt prefill, its first sampled token, and n more decode steps
+        all run without the host ever seeing the intermediate state.
+        Non-admitted slots keep decoding with their own last_tok/active (so
+        the scheduler could use this as a combined admit+tick too). Returns
+        (toks (B, n+1), tok, active, cache, sstate) where column 0 is the
+        prefill-sampled token (EOS-padded for non-admitted slots only in
+        later columns).
         """
+        cache, sstate = EngineCore._reset_seed_impl(
+            cache, sstate, slot_mask, seeds, reseed
+        )
         seg = jnp.where(slot_mask, lens, 0)
         logits, cache = llama.prefill(
             params, model_cfg, tokens, seg, cache,
@@ -707,23 +716,37 @@ class EngineCore:
         )
         return cache, sstate
 
-    def reset_and_seed(self, slots: Sequence[int],
-                       seeds: Optional[Sequence[Optional[int]]] = None
-                       ) -> None:
-        """Host wrapper for _reset_seed_impl (+ paged block release)."""
+    def _reset_host(self, slots: Sequence[int]) -> None:
+        """Host half of a slot reset: length bookkeeping + paged block
+        release (the device half either runs via _reset_seed or fused
+        inside the admission graph)."""
         for sl in slots:
             self._len_bounds[sl] = 0
         if self.engine_cfg.paged_kv:
             self._free_slot_blocks(slots)
-        mask = np.zeros(self.batch, bool)
+
+    def _seed_arrays(self, slots: Sequence[int],
+                     seeds: Optional[Sequence[Optional[int]]]):
+        """(seed_arr (B,), reseed (B,)) device-call inputs for per-request
+        PRNG reseeds."""
         seed_arr = np.zeros(self.batch, np.int32)
         reseed = np.zeros(self.batch, bool)
         for i, sl in enumerate(slots):
-            mask[sl] = True
             sd = seeds[i] if seeds is not None and i < len(seeds) else None
             if sd is not None:
                 seed_arr[sl] = np.int64(sd) & 0x7FFFFFFF
                 reseed[sl] = True
+        return seed_arr, reseed
+
+    def reset_and_seed(self, slots: Sequence[int],
+                       seeds: Optional[Sequence[Optional[int]]] = None
+                       ) -> None:
+        """Host wrapper for _reset_seed_impl (+ paged block release)."""
+        self._reset_host(slots)
+        mask = np.zeros(self.batch, bool)
+        for sl in slots:
+            mask[sl] = True
+        seed_arr, reseed = self._seed_arrays(slots, seeds)
         self.cache, self.sampling_state = self._reset_seed(
             self.cache, self.sampling_state, jnp.asarray(mask),
             jnp.asarray(seed_arr), jnp.asarray(reseed),
@@ -889,7 +912,8 @@ class EngineCore:
         if self.engine_cfg.prefix_cache:
             tokens, lens, ptoks, plens, pidx, mask, bounds = \
                 self._prefix_batch_arrays(prompts, slots)
-            self.reset_and_seed(slots, seeds)
+            self._reset_host(slots)   # device reset fused into the graph
+            seed_arr, reseed = self._seed_arrays(slots, seeds)
             self._maybe_reserve_prefix(
                 slots, tokens.shape[1], plens, reserve_extra
             )
@@ -904,7 +928,8 @@ class EngineCore:
                     jnp.asarray(plens), jnp.asarray(pidx), self._pool,
                     self.cache, self.sampling_state, sparams,
                     jnp.asarray(mask), jnp.asarray(last_tok, jnp.int32),
-                    jnp.asarray(active),
+                    jnp.asarray(active), jnp.asarray(seed_arr),
+                    jnp.asarray(reseed),
                 )
             self._len_bounds[self._len_bounds > 0] += n
             return toks, tok, act
@@ -917,7 +942,8 @@ class EngineCore:
             tokens[sl, : len(p)] = p
             lens[sl] = len(p)
             mask[sl] = True
-        self.reset_and_seed(slots, seeds)
+        self._reset_host(slots)       # device reset fused into the graph
+        seed_arr, reseed = self._seed_arrays(slots, seeds)
         self._maybe_reserve(prompts, slots, bucket, reserve_extra)
         for p, sl in zip(prompts, slots):
             self._len_bounds[sl] = min(len(p), bucket) + 1
@@ -927,6 +953,7 @@ class EngineCore:
             n, window, self.params, jnp.asarray(tokens), jnp.asarray(lens),
             self.cache, self.sampling_state, sparams, jnp.asarray(mask),
             jnp.asarray(last_tok, jnp.int32), jnp.asarray(active),
+            jnp.asarray(seed_arr), jnp.asarray(reseed),
         )
         self._len_bounds[self._len_bounds > 0] += n
         return toks, tok, act

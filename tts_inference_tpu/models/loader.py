@@ -231,10 +231,14 @@ def llama_params_from_hf_state(
 
     Layout notes: HF stores q/k/v/o as (out, in); we keep (in, out) so the
     matmuls are plain `x @ w` (feature-last, MXU-friendly).
+    When dtype is None, the config's own dtype field decides (HF convention:
+    config.json `torch_dtype`/`dtype` describes the stored weights).
     """
     import jax.numpy as jnp
 
-    dtype = dtype or jnp.bfloat16
+    if dtype is None:
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                 "float16": jnp.float16}[cfg.dtype]
 
     def W(key):  # linear weight (out,in) -> (in,out)
         return jnp.asarray(_np(sd[key]).T, dtype=dtype)

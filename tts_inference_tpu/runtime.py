@@ -83,10 +83,25 @@ class Runtime:
         elif model_path:
             from tts_inference_tpu.models.loader import load_llama_checkpoint
 
-            params, model_cfg = load_llama_checkpoint(
-                model_path, config.model, lora_path=lora_path,
-                dtype=llama.param_dtype(config.model),
+            # the checkpoint's own config.json wins over the default
+            # ModelConfig (HF convention; a non-Orpheus-sized checkpoint must
+            # not be loaded through Orpheus dims) — only performance knobs
+            # carry over from the passed config
+            has_hf_cfg = os.path.exists(
+                os.path.join(model_path, "config.json")
             )
+            params, model_cfg = load_llama_checkpoint(
+                model_path, None if has_hf_cfg else config.model,
+                lora_path=lora_path,
+                # checkpoint config decides its own dtype; loader derives it
+                dtype=None if has_hf_cfg
+                else llama.param_dtype(config.model),
+            )
+            if has_hf_cfg:
+                model_cfg = dataclasses.replace(
+                    model_cfg,
+                    use_pallas_attention=config.model.use_pallas_attention,
+                )
             config = dataclasses.replace(config, model=model_cfg)
         else:
             params = llama.init_llama_params(
@@ -102,7 +117,13 @@ class Runtime:
         if snac_path:
             from tts_inference_tpu.models.loader import load_snac_checkpoint
 
-            vparams, snac_cfg = load_snac_checkpoint(snac_path, config.snac)
+            # as with the LM: the checkpoint's own config.json wins
+            snac_has_cfg = os.path.exists(
+                os.path.join(snac_path, "config.json")
+            )
+            vparams, snac_cfg = load_snac_checkpoint(
+                snac_path, None if snac_has_cfg else config.snac
+            )
             config = dataclasses.replace(config, snac=snac_cfg)
         else:
             vparams = snac.init_snac_params(
