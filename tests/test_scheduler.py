@@ -61,7 +61,7 @@ def drain(req, timeout=300):
 
 def run_until_idle(sched, max_iters=2000):
     for _ in range(max_iters):
-        if not sched.step() and sched.pending.empty():
+        if not sched.step() and sched.n_queued == 0:
             return
     raise AssertionError("scheduler did not drain")
 
@@ -243,3 +243,202 @@ def test_vocoder_failure_delivers_errors(rt):
         assert "error" in kinds, kinds
     finally:
         s2.stop()
+
+
+# -- admission QoS under oversubscription (round-2 verdict item #4) ----------
+# Reference roadmap target: ~100 concurrent users (spec.md:137-139). Strict
+# FIFO gives every request the same multi-second p95 TTFA once the queue
+# exceeds the slots; these tests pin the sjf policy, the aging starvation
+# bound, and the reserved short-only slots.
+
+import dataclasses
+
+
+def qos_scheduler(rt, **engine_over):
+    cfg = rt.config.replace(
+        engine=dataclasses.replace(rt.config.engine, **engine_over)
+    )
+    return Scheduler(
+        rt.engine.core.params, cfg, rt.vocoder, rt.tokenizer
+    )
+
+
+def test_sjf_short_jumps_queue(rt):
+    """With all slots busy on long jobs, a short request submitted AFTER a
+    long one is admitted first once a slot frees."""
+    s = qos_scheduler(rt, admission_policy="sjf",
+                      short_request_tokens=14)
+    admitted = []
+    orig = s.core.prefill_decode_launch
+
+    def spy(prompts, slots, *a, **k):
+        admitted.append(list(slots))
+        return orig(prompts, slots, *a, **k)
+
+    s.core.prefill_decode_launch = spy
+    try:
+        # staggered lengths → slots free one at a time, so each admission
+        # wave has exactly one free slot and policy order is observable
+        firsts = [mk_req(f"long {i}", seed=i, max_tokens=70 + 28 * i)
+                  for i in range(4)]
+        for r in firsts:
+            s.submit(r)
+        # admit the first wave (fills all 4 slots)
+        for _ in range(50):
+            s.step()
+            if s.n_active == 4:
+                break
+        assert s.n_active == 4
+        late_long = mk_req("late long", seed=90, max_tokens=70)
+        short = mk_req("short vip", seed=91, max_tokens=14)
+        s.submit(late_long)   # FIFO-first
+        s.submit(short)       # submitted after, but shorter
+        # run until either queued request lands in a slot
+        for _ in range(2000):
+            s.step()
+            live = [st.req for st in s.slots if st is not None]
+            if short in live or late_long in live:
+                break
+        live = [st.req for st in s.slots if st is not None]
+        assert short in live, "short request never admitted"
+        assert late_long not in live, \
+            "sjf should admit the short before the earlier long"
+        run_until_idle(s)
+        s.drain_vocoder(timeout=60)
+        for r in firsts + [late_long, short]:
+            drain(r)
+    finally:
+        s.stop()
+
+
+def test_sjf_aging_bounds_starvation(rt):
+    """A long request that has waited past sjf_aging_ms outranks a fresh
+    short one (no starvation)."""
+    import time as _t
+
+    s = qos_scheduler(rt, admission_policy="sjf",
+                      short_request_tokens=14,
+                      sjf_aging_ms=10.0)   # age fast for the test
+    try:
+        firsts = [mk_req(f"long {i}", seed=i, max_tokens=70)
+                  for i in range(4)]
+        for r in firsts:
+            s.submit(r)
+        for _ in range(50):
+            s.step()
+            if s.n_active == 4:
+                break
+        old_long = mk_req("old long", seed=92, max_tokens=70)
+        s.submit(old_long)
+        _t.sleep(0.15)   # ages >> 10 ms → effective length strongly negative
+        fresh_short = mk_req("fresh short", seed=93, max_tokens=14)
+        s.submit(fresh_short)
+        for _ in range(2000):
+            s.step()
+            live = [st.req for st in s.slots if st is not None]
+            if old_long in live:
+                break
+        live = [st.req for st in s.slots if st is not None]
+        assert old_long in live, "aged long starved by fresh short"
+        run_until_idle(s)
+        s.drain_vocoder(timeout=60)
+        for r in firsts + [old_long, fresh_short]:
+            drain(r)
+    finally:
+        s.stop()
+
+
+def test_reserved_short_slots_exclude_long(rt):
+    """Long requests may only occupy the general slots; a short request
+    lands in the reserved slot even with longs queued ahead of it."""
+    s = qos_scheduler(rt, reserved_short_slots=1,
+                      short_request_tokens=14)
+    try:
+        longs = [mk_req(f"long {i}", seed=40 + i, max_tokens=70)
+                 for i in range(5)]
+        for r in longs:
+            s.submit(r)
+        for _ in range(200):
+            s.step()
+            if s.n_active >= 3:
+                break
+        # 4 slots, 1 reserved → at most 3 longs admitted, slot 3 stays free
+        assert s.n_active == 3
+        assert s.slots[3] is None
+        short = mk_req("short", seed=50, max_tokens=14)
+        s.submit(short)
+        for _ in range(2000):
+            s.step()
+            if s.slots[3] is not None:
+                break
+        assert s.slots[3] is not None and s.slots[3].req is short
+        run_until_idle(s)
+        s.drain_vocoder(timeout=60)
+        for r in longs + [short]:
+            drain(r)
+    finally:
+        s.stop()
+
+
+def test_qos_cancelled_backlog_request_dropped(rt):
+    """Cancelling a queued (not yet admitted) request under sjf delivers
+    'done' and removes it from the backlog."""
+    s = qos_scheduler(rt, admission_policy="sjf",
+                      short_request_tokens=14)
+    try:
+        firsts = [mk_req(f"long {i}", seed=i, max_tokens=140)
+                  for i in range(4)]
+        for r in firsts:
+            s.submit(r)
+        for _ in range(50):
+            s.step()
+            if s.n_active == 4:
+                break
+        victim = mk_req("cancel me", seed=60, max_tokens=35)
+        s.submit(victim)
+        for _ in range(3):
+            s.step()
+        assert not any(st is not None and st.req is victim
+                       for st in s.slots), "victim admitted too early"
+        victim.cancel()
+        run_until_idle(s)
+        s.drain_vocoder(timeout=60)
+        assert s.n_queued == 0
+        kind, _ = victim.events.get(timeout=5)
+        assert kind == "done"
+        for r in firsts:
+            drain(r)
+    finally:
+        s.stop()
+
+
+def test_fifo_default_unchanged(rt):
+    """Default policy stays strict FIFO: a later short does NOT jump an
+    earlier long."""
+    s = qos_scheduler(rt)   # fifo, no reservations
+    try:
+        firsts = [mk_req(f"long {i}", seed=i, max_tokens=70)
+                  for i in range(4)]
+        for r in firsts:
+            s.submit(r)
+        for _ in range(50):
+            s.step()
+            if s.n_active == 4:
+                break
+        late_long = mk_req("late long", seed=70, max_tokens=70)
+        short = mk_req("short", seed=71, max_tokens=14)
+        s.submit(late_long)
+        s.submit(short)
+        for _ in range(2000):
+            s.step()
+            live = [st.req for st in s.slots if st is not None]
+            if late_long in live or short in live:
+                break
+        live = [st.req for st in s.slots if st is not None]
+        assert late_long in live, "FIFO must admit in arrival order"
+        run_until_idle(s)
+        s.drain_vocoder(timeout=60)
+        for r in firsts + [late_long, short]:
+            drain(r)
+    finally:
+        s.stop()

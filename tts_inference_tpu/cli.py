@@ -55,6 +55,17 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
                    help="comma-separated KV attention-window buckets "
                         "(default: doubling series auto-extended to "
                         "max_seq_len — long-audio engines get 8192…)")
+    p.add_argument("--admission-policy", choices=("fifo", "sjf"),
+                   default=None,
+                   help="oversubscription QoS: 'sjf' = shortest-job-first "
+                        "with aging (short interactive requests stop "
+                        "queueing behind long-audio jobs)")
+    p.add_argument("--reserved-short-slots", type=int, default=None,
+                   help="slots only short requests (max_tokens ≤ "
+                        "--short-tokens) may occupy")
+    p.add_argument("--short-tokens", type=int, default=None,
+                   help="'short request' threshold in tokens (default 896 "
+                        "≈ 10.9 s of audio)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree (mesh tp axis over ICI)")
     p.add_argument("--dp", type=int, default=1,
@@ -110,6 +121,12 @@ def _build_runtime(args):
         eng_over["kv_pool_tokens"] = args.kv_pool_tokens
     if getattr(args, "kv_block_size", None):
         eng_over["kv_block_size"] = args.kv_block_size
+    if getattr(args, "admission_policy", None):
+        eng_over["admission_policy"] = args.admission_policy
+    if getattr(args, "reserved_short_slots", None) is not None:
+        eng_over["reserved_short_slots"] = args.reserved_short_slots
+    if getattr(args, "short_tokens", None) is not None:
+        eng_over["short_request_tokens"] = args.short_tokens
     if getattr(args, "kv_buckets", None):
         eng_over["kv_buckets"] = tuple(
             int(x) for x in args.kv_buckets.split(",")

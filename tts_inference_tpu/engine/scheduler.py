@@ -282,8 +282,12 @@ class Scheduler:
         )
         self._inflight = collections.deque()
         # requests that fit a free slot but not the paged-KV pool wait here
-        # (FIFO ahead of `pending`) until blocks free up
+        # (FIFO ahead of the backlog) until blocks free up
         self._held = collections.deque()
+        # policy backlog: `pending` is only the cross-thread handoff; the
+        # scheduler thread drains it here and admission policy
+        # (config.engine.admission_policy) picks from this list
+        self._backlog: List[TTSRequest] = []
         # watchdog (SURVEY.md §5.3 — the reference's engine-core "dies
         # unexpectedly mid-generation, connections hang" lesson): if the
         # loop makes no progress for `watchdog_s`, all live requests are
@@ -417,6 +421,22 @@ class Scheduler:
     @property
     def n_active(self) -> int:
         return int(self._active.sum())
+
+    @property
+    def n_queued(self) -> int:
+        """Requests waiting for a slot (handoff queue + policy backlog +
+        capacity-held)."""
+        return self.pending.qsize() + len(self._backlog) + len(self._held)
+
+    def _drop_queued(self, req: TTSRequest) -> None:
+        """Remove `req` from whichever wait container holds it."""
+        try:
+            self._held.remove(req)
+        except ValueError:
+            try:
+                self._backlog.remove(req)
+            except ValueError:
+                pass
 
     # -- scheduler loop -------------------------------------------------------
 
@@ -569,18 +589,53 @@ class Scheduler:
         their last token (already processed) — flagged via skip_first."""
         free = [i for i, s in enumerate(self.slots) if s is None]
         batch: List[tuple] = []
-        while free:
-            if self._held:
-                req = self._held.popleft()
-            else:
-                try:
-                    req = self.pending.get_nowait()
-                except queue.Empty:
-                    break
+        # drain the cross-thread queue into the policy backlog
+        while True:
+            try:
+                self._backlog.append(self.pending.get_nowait())
+            except queue.Empty:
+                break
+        ecfg = self.config.engine
+        # reserved latency slots: indices ≥ long_cutoff only admit SHORT
+        # requests (max_tokens ≤ short_request_tokens) — a burst of
+        # long-audio jobs can fill at most the general slots, so an
+        # interactive request always has capacity to land in
+        long_cutoff = len(self.slots) - ecfg.reserved_short_slots
+
+        def is_short(r: TTSRequest) -> bool:
+            return r.sampling.max_tokens <= ecfg.short_request_tokens
+
+        # candidate order: held requests first (they were already admitted
+        # by policy and only deferred by the paged-KV capacity gate), then
+        # the backlog in policy order
+        ordered = list(self._backlog)
+        if ecfg.admission_policy == "sjf" and len(ordered) > 1:
+            # shortest-job-first with aging: effective length shrinks by
+            # max_output_len per sjf_aging_ms waited (starvation bound);
+            # sort is stable, so equal scores keep arrival order
+            now = time.perf_counter()
+            rate = ecfg.max_output_len / max(ecfg.sjf_aging_ms, 1e-6)
+            ordered.sort(key=lambda r: (
+                r.sampling.max_tokens
+                - rate * (now - r.submitted_at) * 1000.0
+            ))
+        for req in list(self._held) + ordered:
+            if not free:
+                break
             if req.cancelled:
                 req.events.put(("done", StreamMetrics()))
+                self._drop_queued(req)
                 continue
-            slot = free.pop(0)
+            if is_short(req):
+                # prefer a reserved slot so general slots stay open
+                slot = max(free) if max(free) >= long_cutoff else free[0]
+            else:
+                eligible = [s for s in free if s < long_cutoff]
+                if not eligible:
+                    continue   # long request waits for a general slot
+                slot = eligible[0]
+            free.remove(slot)
+            self._drop_queued(req)
             batch.append((slot, req, self._build_prompt(req)))
         if self.config.engine.paged_kv and batch:
             # capacity gate (the TRT in-flight-batching behavior): admit
@@ -783,7 +838,8 @@ class Scheduler:
         did = False
         # speculative top-up: keep the launch queue full while no admissions
         # wait (each launch chains device handles from the newest one)
-        while (self._inflight and self.pending.empty() and not self._held
+        while (self._inflight and self.pending.empty()
+               and not self._backlog and not self._held
                and self._active.any()
                and len(self._inflight) < self.pipeline_depth):
             _, tok_d, act_d, sp_used, _, _, _ = self._inflight[-1]
@@ -877,6 +933,9 @@ class Scheduler:
                 self._release(slot)
         while self._held:
             self._held.popleft().events.put(("error", message))
+        for req in self._backlog:
+            req.events.put(("error", message))
+        self._backlog.clear()
         while not self.pending.empty():
             try:
                 req = self.pending.get_nowait()
@@ -895,7 +954,8 @@ class Scheduler:
             now = time.perf_counter()
             if did_work:
                 self._last_progress = now
-            elif (self.n_active or self._held or not self.pending.empty()) \
+            elif (self.n_active or self._held or self._backlog
+                  or not self.pending.empty()) \
                     and now - self._last_progress > self.watchdog_s:
                 self.fail_all(
                     f"watchdog: no progress for {self.watchdog_s:.0f}s"

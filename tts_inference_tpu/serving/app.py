@@ -285,7 +285,7 @@ class Server:
             sch: dict = {
                 "slots": len(s.slots),
                 "active": s.n_active,
-                "queued": s.pending.qsize(),
+                "queued": s.n_queued,
                 "vocode_pending": s._vocode_pending,
             }
             if core.engine_cfg.paged_kv:
