@@ -146,6 +146,141 @@ class Launcher:
         return 0
 
 
+class _Managed:
+    """One supervised child process with health URL + restart backoff."""
+
+    def __init__(self, name: str, cmd: list, health_url: str,
+                 ready_timeout_s: float = 600.0):
+        self.name = name
+        self.cmd = cmd
+        self.health_url = health_url
+        self.ready_timeout_s = ready_timeout_s
+        self.proc: subprocess.Popen | None = None
+        self.backoff = 1.0
+        self.restarts = 0
+        self.misses = 0
+        self.next_spawn = 0.0   # monotonic deadline for a pending respawn
+        self.ready = False      # first /health 200 seen since last spawn
+        self.ready_deadline = 0.0
+
+    def spawn(self) -> None:
+        print(f"[launch] {self.name}: {' '.join(self.cmd)}", flush=True)
+        self.proc = subprocess.Popen(self.cmd)
+        self.misses = 0
+        self.ready = False
+        self.ready_deadline = time.monotonic() + self.ready_timeout_s
+
+    def alive(self) -> bool:
+        return self.proc is not None and self.proc.poll() is None
+
+    def drain(self, drain_s: float) -> None:
+        if not self.alive():
+            return
+        self.proc.send_signal(signal.SIGTERM)
+        try:
+            self.proc.wait(timeout=drain_s)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+            self.proc.wait()
+
+
+class ReplicaLauncher:
+    """N serving replicas (ports port+1..port+N) behind a deploy/router
+    front on `port` — the scale-out story of SURVEY.md §5.8 (reference
+    analog: Modal container fan-out, `modal_benchmark.py:140-142`). Each
+    child is supervised independently: a crashed/unhealthy replica
+    restarts with backoff while the router keeps serving from the rest."""
+
+    def __init__(self, args, serve_args):
+        self.args = args
+        self.serve_args = serve_args
+        self.stopping = False
+        ports = [args.port + 1 + i for i in range(args.replicas)]
+        self.children = [
+            _Managed(
+                f"replica{i}",
+                [sys.executable, "-m", "tts_inference_tpu.cli", "serve",
+                 "--host", "127.0.0.1", "--port", str(p), *serve_args],
+                f"http://127.0.0.1:{p}/health",
+                ready_timeout_s=args.ready_timeout_s,
+            )
+            for i, p in enumerate(ports)
+        ]
+        self.children.append(_Managed(
+            "router",
+            [sys.executable, "-m", "deploy.router",
+             "--host", args.host, "--port", str(args.port),
+             *sum((["--replica", f"http://127.0.0.1:{p}"] for p in ports),
+                  [])],
+            f"http://127.0.0.1:{args.port}/health",
+            # router /health is 503 until a replica comes up — give it the
+            # same startup grace as the replicas themselves
+            ready_timeout_s=args.ready_timeout_s,
+        ))
+
+    def run(self) -> int:
+        def on_term(signum, frame):
+            self.stopping = True
+
+        signal.signal(signal.SIGTERM, on_term)
+        signal.signal(signal.SIGINT, on_term)
+        if not self.args.skip_build:
+            # one warm build: every replica shares the persistent XLA cache
+            subprocess.run(
+                [sys.executable, "-m", "tts_inference_tpu.cli",
+                 "aot-compile", "--build-info", self.args.build_info,
+                 *self.serve_args],
+                check=True,
+            )
+        for c in self.children:
+            c.spawn()
+        total_restarts = 0
+        try:
+            while not self.stopping:
+                time.sleep(self.args.health_interval)
+                now = time.monotonic()
+                for c in self.children:
+                    if c.next_spawn:
+                        if now >= c.next_spawn:
+                            c.next_spawn = 0.0
+                            c.spawn()
+                        continue
+                    bad = not c.alive()
+                    if not bad:
+                        if http_ok(c.health_url):
+                            c.ready = True
+                            c.misses = 0
+                            c.backoff = 1.0
+                        elif not c.ready:
+                            # startup grace: a freshly spawned server is
+                            # loading/compiling — only the ready timeout
+                            # (not the miss counter) can fail it
+                            bad = now >= c.ready_deadline
+                        else:
+                            c.misses += 1
+                            bad = c.misses >= self.args.health_misses
+                    if bad:
+                        print(f"[launch] {c.name} unhealthy — restart "
+                              f"in {c.backoff:.0f}s", flush=True)
+                        c.drain(self.args.drain_s)
+                        c.restarts += 1
+                        total_restarts += 1
+                        if (self.args.max_restarts is not None
+                                and total_restarts > self.args.max_restarts):
+                            print("[launch] restart limit reached",
+                                  flush=True)
+                            return 1
+                        c.next_spawn = now + c.backoff
+                        c.backoff = min(c.backoff * 2, 60.0)
+        finally:
+            for c in self.children:
+                c.drain(self.args.drain_s)
+            print(json.dumps({
+                "restarts": {c.name: c.restarts for c in self.children}
+            }), flush=True)
+        return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="warm-lifecycle supervisor for the TTS server "
@@ -162,6 +297,10 @@ def main(argv=None) -> int:
     ap.add_argument("--health-misses", type=int, default=3)
     ap.add_argument("--drain-s", type=float, default=30.0)
     ap.add_argument("--max-restarts", type=int, default=None)
+    ap.add_argument("--replicas", type=int, default=1,
+                    help="N serving replicas (ports port+1..port+N) behind "
+                         "a deploy/router front on --port (scale-out "
+                         "serving, SURVEY.md §5.8)")
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--" in argv:
         i = argv.index("--")
@@ -169,6 +308,8 @@ def main(argv=None) -> int:
     else:
         own, serve_args = argv, []
     args = ap.parse_args(own)
+    if args.replicas > 1:
+        return ReplicaLauncher(args, serve_args).run()
     return Launcher(args, serve_args).run()
 
 

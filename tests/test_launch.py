@@ -74,6 +74,61 @@ def test_launcher_serves_and_drains(tmp_path):
             proc.kill()
 
 
+def test_launcher_replicas_behind_router(tmp_path):
+    """--replicas 2: two tiny servers + front router; generate through the
+    router, failover after a replica is killed, supervisor restarts it."""
+    port = free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "deploy.launch", "--port", str(port),
+         "--replicas", "2", "--skip-build", "--health-interval", "1",
+         "--", "--tiny", "--cpu", "--no-warmup"],
+        cwd="/root/repo", env=env,
+        stdout=open(tmp_path / "launch.log", "w"), stderr=subprocess.STDOUT,
+    )
+    p1, p2 = port + 1, port + 2
+    try:
+        assert wait_health(p1) and wait_health(p2), "replicas not healthy"
+        assert wait_health(port), "router never became healthy"
+
+        import json
+
+        def gen(tag):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps({
+                    "text": f"replica check {tag}", "force_speech": True,
+                    "max_tokens": 30, "audio_only": True,
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=180) as r:
+                assert r.status == 200
+                assert r.headers["Content-Type"] == "audio/wav"
+
+        gen("a")
+        # kill replica 1 (child whose cmdline carries --port p1)
+        out = subprocess.run(["pgrep", "-P", str(proc.pid)],
+                             capture_output=True, text=True)
+        victim = None
+        for pid in out.stdout.split():
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                argv = f.read().split(b"\0")
+            if str(p1).encode() in argv and b"serve" in argv:
+                victim = int(pid)
+        assert victim, "replica 1 pid not found"
+        os.kill(victim, signal.SIGKILL)
+        # router fails over to replica 2 immediately
+        gen("b")
+        # supervisor brings replica 1 back
+        assert wait_health(p1, timeout=240), "replica 1 not restarted"
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=90) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_launcher_restarts_crashed_server(tmp_path):
     port = free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")
