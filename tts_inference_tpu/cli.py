@@ -31,6 +31,10 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-warmup", action="store_true")
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only quantization (serving)")
+    p.add_argument("--weight-bits", type=int, default=8, choices=(8, 4),
+                   help="with --quantize: 8 = per-channel int8 (default), "
+                        "4 = per-group int4 linears via the Pallas matvec "
+                        "kernel (embed/head stay int8)")
     p.add_argument("--max-input-len", type=int, default=None)
     p.add_argument("--max-output-len", type=int, default=None)
     p.add_argument("--max-batch-size", type=int, default=None)
@@ -155,6 +159,7 @@ def _build_runtime(args):
         seed=args.seed,
         warmup=not args.no_warmup,
         quantize=args.quantize,
+        weight_bits=args.weight_bits,
     )
 
 

@@ -294,6 +294,21 @@ class Scheduler:
         # failed with an error event instead of hanging their consumers.
         self.watchdog_s: float = 120.0
         self._last_progress = time.perf_counter()
+        # tick-phase profile (PERF.md 64-slot knee attribution): enabled by
+        # enable_tick_profile(); accumulates wall seconds per step() phase
+        self._prof: Optional[dict] = None
+
+    def enable_tick_profile(self) -> None:
+        """Accumulate per-phase wall time across step() calls into
+        .tick_profile — used by the 64-slot knee measurement (the host tick
+        vs device fetch vs vocode-planning attribution, VERDICT r2 #5)."""
+        self._prof = {"fetch_s": 0.0, "host_tokens_s": 0.0,
+                      "fused_pcm_s": 0.0, "vocode_plan_s": 0.0,
+                      "admit_launch_s": 0.0, "ticks": 0}
+
+    @property
+    def tick_profile(self) -> Optional[dict]:
+        return dict(self._prof) if self._prof is not None else None
 
     # -- public API ---------------------------------------------------------
 
@@ -850,12 +865,20 @@ class Scheduler:
                  None)
             )
         prev = self._inflight.popleft() if self._inflight else None
+        prof = self._prof
         if prev is not None:
             (toks_d, tok_d, act_d, sp_used, launch_ids, skip_first,
              fused_pcm) = prev
+            if prof is not None:
+                _t = time.perf_counter()
             toks = np.asarray(toks_d)        # overlaps the in-flight calls
             active = np.asarray(act_d)
             self._last_tok = np.array(tok_d)
+            if prof is not None:
+                _now = time.perf_counter()
+                prof["fetch_s"] += _now - _t
+                prof["ticks"] += 1
+                _t = _now
             finishing = []
             for slot, state in enumerate(self.slots):
                 if state is None or launch_ids[slot] != state.req.id:
@@ -871,6 +894,10 @@ class Scheduler:
                 # device-side EOS/max-seq freeze also ends the slot
                 if finished or not active[slot]:
                     finishing.append(slot)
+            if prof is not None:
+                _now = time.perf_counter()
+                prof["host_tokens_s"] += _now - _t
+                _t = _now
             if fused_pcm is not None:
                 # fused admission vocode: emit eligible slots' first chunks
                 # straight from the chained device decode; their lookahead
@@ -899,7 +926,15 @@ class Scheduler:
                         la.commit(plan)
                         state.metrics.decode_times_ms.append(0.0)
                         state._emit(pcm[sl])
+            if prof is not None:
+                _now = time.perf_counter()
+                prof["fused_pcm_s"] += _now - _t
+                _t = _now
             self._vocode_tick(finishing)
+            if prof is not None:
+                _now = time.perf_counter()
+                prof["vocode_plan_s"] += _now - _t
+                _t = _now
             for slot in finishing:
                 state = self.slots[slot]
                 if state is not None:
@@ -909,6 +944,8 @@ class Scheduler:
                 self._release(slot)
             did = True
 
+        if prof is not None:
+            _t2 = time.perf_counter()
         if not self._inflight:
             did = self._admit() or did
             if not self._inflight and self._active.any():
@@ -922,6 +959,8 @@ class Scheduler:
                      None)
                 )
                 did = True
+        if prof is not None:
+            prof["admit_launch_s"] += time.perf_counter() - _t2
         return did
 
     def fail_all(self, message: str) -> None:

@@ -34,6 +34,21 @@ class QuantEmbed(NamedTuple):
     scale: jnp.ndarray    # (V,) float32
 
 
+class QuantLinearI4(NamedTuple):
+    """(in, out) weight as packed int4 + per-(group, out-channel) scales.
+
+    Two int4 values per int8 byte, per-group split-half packed along the
+    `in` dimension (ops/pallas/int4_matmul.py docstring has the layout).
+    The out dimension of ``w_p`` may be lane-padded to a multiple of 128;
+    ``scale.shape[1]`` is the true out width and ``in // scale.shape[0]``
+    the group size — both recoverable from shapes alone, so the pytree
+    stays all-array (jit-friendly, no static fields).
+    """
+
+    w_p: jnp.ndarray      # (in//2, out_padded) int8
+    scale: jnp.ndarray    # (in//group, out) float32
+
+
 def quantize_linear(w: jnp.ndarray) -> QuantLinear:
     wf = w.astype(jnp.float32)
     scale = jnp.max(jnp.abs(wf), axis=0) / 127.0          # per out channel
@@ -50,20 +65,59 @@ def quantize_embed(w: jnp.ndarray) -> QuantEmbed:
     return QuantEmbed(q, scale)
 
 
+# quantization group along `in`; == the kernel's packed-K tile, so scales
+# apply to partial sums, not per element (the VPU-cost analysis in
+# ops/pallas/int4_matmul.py — finer AWQ-style 128 groups priced the
+# dequant off the VPU's budget on v5e)
+I4_GROUP = 512
+
+
+def quantize_linear_i4(w: jnp.ndarray, group: int = I4_GROUP) -> QuantLinearI4:
+    """Per-group symmetric int4: scale = group absmax / 7, q ∈ [-7, 7].
+
+    The group shrinks so it tiles each packed K-half (small `in` dims — the
+    tiny test config); out dims below the 128-lane tile are zero-padded in
+    the packed array only.
+    """
+    from tts_inference_tpu.ops.pallas.int4_matmul import (
+        pack_int4, pick_group)
+
+    k, n = w.shape
+    group = pick_group(k, group)
+    wf = w.astype(jnp.float32).reshape(k // group, group, n)
+    scale = jnp.max(jnp.abs(wf), axis=1) / 7.0            # (K/G, N)
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
+    q = q.reshape(k, n).astype(jnp.int32)
+    n_pad = ((n + 127) // 128) * 128
+    if n_pad != n:
+        q = jnp.pad(q, ((0, 0), (0, n_pad - n)))
+    return QuantLinearI4(pack_int4(q), scale)
+
+
 _LINEAR_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_llama_params(
-    params: Dict, *, quantize_embed_table: bool = True
+    params: Dict, *, quantize_embed_table: bool = True, bits: int = 8
 ) -> Dict:
-    """Full params tree → int8 tree (norms stay fp; done layer by layer so
-    peak memory holds one extra layer, not two full models)."""
+    """Full params tree → quantized tree (norms stay fp; done layer by layer
+    so peak memory holds one extra layer, not two full models).
+
+    bits=8: per-out-channel int8 everywhere (the serving default).
+    bits=4: per-group int4 for the per-layer linears — the bulk of the
+    decode weight read (2.83 of 3.3 GB at int8) — while the embedding and
+    tied head stay int8: logit quality gates token selection directly, and
+    the sliced-head decode already reads only the audio-vocab rows.
+    """
+    assert bits in (8, 4), bits
+    qlin = quantize_linear if bits == 8 else quantize_linear_i4
     out = dict(params)
     layers = []
     for lp in params["layers"]:
         nlp = dict(lp)
         for k in _LINEAR_KEYS:
-            nlp[k] = quantize_linear(lp[k])
+            nlp[k] = qlin(lp[k])
         layers.append(nlp)
     out["layers"] = layers
     if quantize_embed_table:
@@ -74,7 +128,13 @@ def quantize_llama_params(
 
 
 def mm(x: jnp.ndarray, w) -> jnp.ndarray:
-    """x @ w for plain or QuantLinear weights (convert fused into the dot)."""
+    """x @ w for plain or QuantLinear/I4 weights (convert fused into the dot)."""
+    if isinstance(w, QuantLinearI4):
+        from tts_inference_tpu.ops.pallas import int4_matmul
+
+        if jax.default_backend() == "tpu":
+            return int4_matmul.int4_mm(x, w.w_p, w.scale)
+        return int4_matmul.int4_mm_reference(x, w.w_p, w.scale)
     if isinstance(w, QuantLinear):
         y = jnp.dot(x, w.w_i8.astype(x.dtype),
                     preferred_element_type=jnp.float32)

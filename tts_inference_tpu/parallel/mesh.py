@@ -80,9 +80,16 @@ def adapt_pspecs(pspecs, params):
     with QuantLinear/QuantEmbed pairs; the int8 tensor keeps the dense
     spec and the per-channel scale shards along its own axis (out-channels
     for linears, vocab rows for embeddings)."""
-    from tts_inference_tpu.models.quant import QuantEmbed, QuantLinear
+    from tts_inference_tpu.models.quant import (
+        QuantEmbed, QuantLinear, QuantLinearI4)
 
     def fix(spec, leaf):
+        if isinstance(leaf, QuantLinearI4):
+            # packed rows halve K but keep its axis; scale groups follow K
+            # and scale columns follow out — both reuse the dense spec
+            # (tp split of K/2 rows stays group-aligned: shards are
+            # multiples of 64 rows ≥ group/2 for every model dim)
+            return QuantLinearI4(w_p=spec, scale=spec)
         if isinstance(leaf, QuantLinear):
             out_ax = spec[1] if len(spec) > 1 else None
             return QuantLinear(w_i8=spec, scale=P(out_ax))

@@ -60,6 +60,7 @@ class Runtime:
         seed: int = 0,
         warmup: bool = False,
         quantize: bool = False,
+        weight_bits: int = 8,
     ) -> "Runtime":
         config = config or Config()
         enable_compilation_cache(config.engine.compilation_cache_dir)
@@ -110,7 +111,11 @@ class Runtime:
         if quantize:
             from tts_inference_tpu.models.quant import quantize_llama_params
 
-            params = quantize_llama_params(params)
+            # weight_bits=4: per-group int4 linears via the Pallas matvec
+            # kernel (embed/head stay int8) — the decode weight-read floor
+            # halves again; quality-gate with tools/audio_fidelity.py before
+            # making it a product default.
+            params = quantize_llama_params(params, bits=weight_bits)
         timings["load_model_s"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
