@@ -12,12 +12,9 @@
 //   * TokenExtractor    — SOS/EOS gate with first-/last-SOS strategies
 //   * deinterleave      — 7-token frames → 3 SNAC layers, offsets + clamp
 //   * emission_window   — windowed lookahead emission bookkeeping
-//   * SPSC ring buffer  — lock-free PCM byte queue (producer: scheduler
-//                         thread; consumer: server event loop)
 //
 // Build: make -C native    (g++ -O3 -shared -fPIC)
 
-#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -37,14 +34,6 @@ struct Extractor {
   bool finished = false;
   int64_t restarts = 0;
   std::vector<int32_t> codes;
-};
-
-struct Ring {
-  std::vector<uint8_t> buf;
-  std::atomic<uint64_t> head{0};  // written by producer
-  std::atomic<uint64_t> tail{0};  // written by consumer
-  explicit Ring(size_t cap) : buf(cap) {}
-  size_t capacity() const { return buf.size(); }
 };
 
 }  // namespace
@@ -158,46 +147,6 @@ int emission_window(int64_t samples_emitted, int64_t total_frames,
   out[2] = samples_emitted - w0 * samples_per_frame;
   out[3] = stable_end - w0 * samples_per_frame;
   return 1;
-}
-
-// ---------- SPSC PCM ring buffer --------------------------------------------
-
-void* ring_create(int64_t capacity) { return new Ring((size_t)capacity); }
-void ring_destroy(void* h) { delete static_cast<Ring*>(h); }
-
-int64_t ring_size(void* h) {
-  auto* r = static_cast<Ring*>(h);
-  return (int64_t)(r->head.load(std::memory_order_acquire) -
-                   r->tail.load(std::memory_order_acquire));
-}
-
-int64_t ring_free(void* h) {
-  auto* r = static_cast<Ring*>(h);
-  return (int64_t)r->capacity() - ring_size(h);
-}
-
-// Producer: write n bytes; returns bytes written (0 if insufficient space —
-// all-or-nothing to keep PCM sample alignment).
-int64_t ring_write(void* h, const uint8_t* data, int64_t n) {
-  auto* r = static_cast<Ring*>(h);
-  if (n > ring_free(h)) return 0;
-  const uint64_t head = r->head.load(std::memory_order_relaxed);
-  const size_t cap = r->capacity();
-  for (int64_t i = 0; i < n; ++i) r->buf[(head + i) % cap] = data[i];
-  r->head.store(head + n, std::memory_order_release);
-  return n;
-}
-
-// Consumer: read up to n bytes; returns bytes read.
-int64_t ring_read(void* h, uint8_t* out, int64_t n) {
-  auto* r = static_cast<Ring*>(h);
-  const int64_t avail = ring_size(h);
-  if (n > avail) n = avail;
-  const uint64_t tail = r->tail.load(std::memory_order_relaxed);
-  const size_t cap = r->capacity();
-  for (int64_t i = 0; i < n; ++i) out[i] = r->buf[(tail + i) % cap];
-  r->tail.store(tail + n, std::memory_order_release);
-  return n;
 }
 
 }  // extern "C"

@@ -1,7 +1,5 @@
 """Native (C++) runtime tests: equivalence vs the Python reference semantics
-in protocol.py, plus ring-buffer behavior under threads."""
-
-import threading
+in protocol.py."""
 
 import numpy as np
 import pytest
@@ -76,42 +74,6 @@ def test_emission_window_matches_lookahead_logic():
     assert w == (3, 9, 4 * spf, 6 * spf)
     # flush with nothing left
     assert N.native_emission_window(9 * spf, 9, spf, 3, 4, 2, True) is None
-
-
-def test_ring_buffer_roundtrip():
-    ring = N.PcmRing(capacity=1024)
-    assert ring.write(b"abc") == 3
-    assert ring.size == 3
-    assert ring.read(2) == b"ab"
-    assert ring.read(5) == b"c"
-    # all-or-nothing on overflow
-    big = b"x" * 1025
-    assert ring.write(big) == 0
-    assert ring.write(b"y" * 1024) == 1024
-    assert ring.free == 0
-
-
-def test_ring_buffer_threaded():
-    ring = N.PcmRing(capacity=1 << 16)
-    total = 1 << 20
-    sent = bytearray()
-    recv = bytearray()
-
-    def producer():
-        import os as _os
-
-        while len(sent) < total:
-            chunk = _os.urandom(min(4096, total - len(sent)))
-            while ring.write(chunk) == 0:
-                pass
-            sent.extend(chunk)
-
-    t = threading.Thread(target=producer)
-    t.start()
-    while len(recv) < total:
-        recv.extend(ring.read(8192))
-    t.join()
-    assert bytes(recv) == bytes(sent)
 
 
 def test_native_restart_count_matches_python(rng):

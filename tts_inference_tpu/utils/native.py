@@ -77,20 +77,6 @@ def load() -> Optional[ctypes.CDLL]:
     lib.emission_window.argtypes = [ctypes.c_int64] * 6 + [
         ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
     ]
-    lib.ring_create.restype = ctypes.c_void_p
-    lib.ring_create.argtypes = [ctypes.c_int64]
-    lib.ring_destroy.argtypes = [ctypes.c_void_p]
-    for f in ("ring_size", "ring_free"):
-        getattr(lib, f).restype = ctypes.c_int64
-        getattr(lib, f).argtypes = [ctypes.c_void_p]
-    lib.ring_write.restype = ctypes.c_int64
-    lib.ring_write.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-    ]
-    lib.ring_read.restype = ctypes.c_int64
-    lib.ring_read.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-    ]
     _lib = lib
     return _lib
 
@@ -181,38 +167,3 @@ def native_emission_window(
     if not ok:
         return None
     return tuple(int(x) for x in out)
-
-
-class PcmRing:
-    """Lock-free SPSC PCM byte ring (producer: scheduler thread; consumer:
-    server loop)."""
-
-    def __init__(self, capacity: int = 1 << 20):
-        lib = load()
-        if lib is None:
-            raise RuntimeError("native runtime unavailable")
-        self._lib = lib
-        self._h = lib.ring_create(capacity)
-
-    def __del__(self):
-        try:
-            self._lib.ring_destroy(self._h)
-        except Exception:
-            pass
-
-    def write(self, data: bytes) -> int:
-        buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-        return int(self._lib.ring_write(self._h, buf, len(data)))
-
-    def read(self, n: int) -> bytes:
-        buf = (ctypes.c_uint8 * n)()
-        got = int(self._lib.ring_read(self._h, buf, n))
-        return bytes(buf[:got])
-
-    @property
-    def size(self) -> int:
-        return int(self._lib.ring_size(self._h))
-
-    @property
-    def free(self) -> int:
-        return int(self._lib.ring_free(self._h))
