@@ -442,3 +442,22 @@ def test_fifo_default_unchanged(rt):
             drain(r)
     finally:
         s.stop()
+
+
+def test_tick_profile_accumulates(sched):
+    """enable_tick_profile attributes step() phases (the 64-slot knee
+    measurement tooling, PERF.md round 3) and is inert until enabled."""
+    assert sched.tick_profile is None
+    sched.enable_tick_profile()
+    req = mk_req("profile me", seed=77)
+    sched.submit(req)
+    run_until_idle(sched)
+    drain(req)
+    prof = sched.tick_profile
+    assert prof is not None and prof["ticks"] > 0
+    for key in ("fetch_s", "host_tokens_s", "fused_pcm_s",
+                "vocode_plan_s", "admit_launch_s"):
+        assert prof[key] >= 0.0
+    # the decode fetch is a real phase of every tick with live slots
+    assert prof["fetch_s"] > 0.0
+    sched._prof = None  # leave the module-scoped fixture clean

@@ -359,3 +359,34 @@ def test_sharded_fused_admission_vocode_matches(mesh):
         b = np.frombuffer(pcm_b, np.int16).astype(np.int32)
         assert a.shape == b.shape
         assert np.abs(a - b).max() <= 1
+
+
+def test_sharded_int4_engine_matches(mesh, params):
+    """int4 weight-only quantization composes with TP/DP sharding:
+    adapt_pspecs reuses the dense spec for the packed rows and the
+    grouped scales (both follow K/out axes). On the CPU mesh the int4
+    matmul runs the jnp reference twin — GSPMD partitions it like any
+    XLA op; the Pallas path is exercised single-chip on TPU."""
+    from tts_inference_tpu.config import EngineConfig, SamplingConfig
+    from tts_inference_tpu.engine.engine import EngineCore
+    from tts_inference_tpu.models.quant import (
+        QuantLinearI4, quantize_llama_params)
+    from tts_inference_tpu.ops import sampling as S
+
+    qparams = quantize_llama_params(params, bits=4)
+    assert isinstance(qparams["layers"][0]["wq"], QuantLinearI4)
+    ecfg = EngineConfig(
+        max_batch_size=4, max_input_len=16, max_output_len=48,
+        prefill_buckets=(16,), kv_buckets=(32,), decode_steps_per_call=3,
+    )
+    sp = S.SamplingParams.from_config(SamplingConfig(greedy=True), 4)
+
+    def run(m):
+        core = EngineCore(qparams, CFG, ecfg, eos_id=5, mesh=m)
+        first = core.prefill_slots([[7, 8, 9]], [0], sp)
+        toks, _, _ = core.decode_steps(
+            sp, first, np.array([True, False, False, False])
+        )
+        return np.concatenate([first[:1, None], toks[:1]], axis=1)
+
+    np.testing.assert_array_equal(run(mesh), run(None))

@@ -85,11 +85,12 @@ def adapt_pspecs(pspecs, params):
 
     def fix(spec, leaf):
         if isinstance(leaf, QuantLinearI4):
-            # packed rows halve K but keep its axis; scale groups follow K
-            # and scale columns follow out — both reuse the dense spec
-            # (tp split of K/2 rows stays group-aligned: shards are
-            # multiples of 64 rows ≥ group/2 for every model dim)
-            return QuantLinearI4(w_p=spec, scale=spec)
+            # packed rows halve K but keep its axis (tp split of K/2 rows
+            # stays group-aligned for every model dim); the scales are a
+            # few rows per group — shard only their out axis and replicate
+            # the group dim (it can be smaller than tp)
+            out_ax = spec[1] if len(spec) > 1 else None
+            return QuantLinearI4(w_p=spec, scale=P(None, out_ax))
         if isinstance(leaf, QuantLinear):
             out_ax = spec[1] if len(spec) > 1 else None
             return QuantLinear(w_i8=spec, scale=P(out_ax))
