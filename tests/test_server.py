@@ -442,3 +442,46 @@ def test_parse_request_casts_and_clamps_wire_values():
     # None passthrough preserved
     _, _, _, sc2, _ = parse_request({"text": "x"}, defaults, sdef)
     assert sc2.first_chunk_lookahead == sdef.first_chunk_lookahead
+
+
+def test_parse_request_fuzz():
+    """Randomized junk on every wire field must either raise cleanly
+    (endpoints catch and return an error message) or produce well-typed,
+    clamped values — a malformed request must never smuggle a float or
+    negative into a jit graph shape (the round-2 advisor's failure class:
+    one bad request killing the whole admission wave)."""
+    import random
+
+    from tts_inference_tpu.config import SamplingConfig, StreamConfig
+    from tts_inference_tpu.serving.app import parse_request
+
+    defaults, sdef = SamplingConfig(), StreamConfig()
+    junk = [None, -1, 0, 1.5, -3.7, 1e18, "abc", "", [], {}, True, "7",
+            float("nan"), float("inf")]
+    fields = ["temperature", "top_p", "repetition_penalty", "max_tokens",
+              "seed", "frames_per_chunk", "lookahead_frames",
+              "first_chunk_lookahead", "frame_protocol", "audio_only",
+              "benchmark", "force_speech", "voice", "text"]
+    rng = random.Random(0)
+    raised = 0
+    for _ in range(300):
+        data = {f: rng.choice(junk) for f in rng.sample(fields, 5)}
+        try:
+            _, voice, s, sc, opts = parse_request(data, defaults, sdef)
+        except (TypeError, ValueError, OverflowError):
+            raised += 1     # endpoints catch these and answer with an error
+            continue
+        assert isinstance(voice, str)
+        assert isinstance(s.max_tokens, int) and s.max_tokens >= 1
+        assert s.temperature >= 0.0 and 0.0 <= s.top_p <= 1.0
+        assert s.repetition_penalty > 0
+        assert s.seed is None or isinstance(s.seed, int)
+        assert isinstance(sc.frames_per_chunk, int) and sc.frames_per_chunk >= 1
+        assert isinstance(sc.lookahead_frames, int) and sc.lookahead_frames >= 0
+        assert sc.first_chunk_lookahead is None or (
+            isinstance(sc.first_chunk_lookahead, int)
+            and sc.first_chunk_lookahead >= 0)
+        for v in opts.values():
+            assert isinstance(v, bool)
+    # the fuzzer must exercise BOTH outcomes
+    assert 0 < raised < 300

@@ -48,6 +48,7 @@ def main(argv=None) -> int:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--weight-bits", type=int, default=8, choices=(8, 4))
     ap.add_argument("--steps", type=int, default=21)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--trace-dir", default=None)
@@ -71,7 +72,7 @@ def main(argv=None) -> int:
     if args.quantize:
         from tts_inference_tpu.models.quant import quantize_llama_params
 
-        params = quantize_llama_params(params)
+        params = quantize_llama_params(params, bits=args.weight_bits)
     core = EngineCore(params, cfg.model, cfg.engine, batch_size=args.batch)
     sp = S.SamplingParams.from_config(SamplingConfig(), args.batch)
     tok = core.prefill_slots(
