@@ -145,3 +145,51 @@ def test_hf_tokenizer_roundtrip_and_protocol_safety(ckpt_dirs):
         assert tok.decode(ids) == text
         # all ids live far below the protocol special range
         assert max(ids) < protocol.TOKEN_SOS
+
+
+def test_cli_quantize_then_generate(tmp_path, capsys):
+    """Offline quantization runbook: `cli quantize` → pre-quantized orbax
+    checkpoint → `cli generate --model-path <it>` boots WITHOUT
+    re-quantizing (Runtime restores the Quant* leaves from the marker-keyed
+    plain tree) and produces audio. The weight-side analog of the TRT
+    save-engine/reload flow (reference build_engine.py:141-150)."""
+    from tts_inference_tpu import cli
+    from tts_inference_tpu.models.quant import (
+        QuantEmbed, QuantLinearI4, from_plain, to_plain,
+        quantize_llama_params)
+    from tts_inference_tpu.config import ModelConfig
+    from tts_inference_tpu.models import llama
+    import jax
+    import numpy as np
+
+    # codec roundtrip is exact
+    params = llama.init_llama_params(jax.random.PRNGKey(0), ModelConfig.tiny())
+    q = quantize_llama_params(params, bits=4)
+    rt = from_plain(to_plain(q))
+    assert isinstance(rt["layers"][0]["wq"], QuantLinearI4)
+    assert isinstance(rt["embed"], QuantEmbed)
+    np.testing.assert_array_equal(
+        np.asarray(rt["layers"][0]["wq"].w_p),
+        np.asarray(q["layers"][0]["wq"].w_p))
+
+    ck = tmp_path / "qckpt"
+    rc = cli.main([
+        "quantize", "--tiny", "--cpu", "--quantize", "--weight-bits", "4",
+        "--out", str(ck),
+    ])
+    assert rc == 0
+    meta = json.loads((ck / "metadata.json").read_text())
+    assert meta["quantized"] == 4 and meta["model_config"]["hidden_size"] == 64
+
+    out = tmp_path / "q.wav"
+    rc = cli.main([
+        "generate", "--model-path", str(ck),
+        "--cpu", "--no-warmup",
+        "--max-input-len", "64", "--max-output-len", "128",
+        "--max-batch-size", "1", "--prefill-buckets", "16,32",
+        "--max-tokens", "32", "--force-speech", "--audio-only",
+        "--seed", "0", "--text", "hello", "--output", str(out),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["audio_duration_s"] > 0

@@ -236,6 +236,36 @@ def cmd_aot_compile(args) -> int:
     return 0
 
 
+def cmd_quantize(args) -> int:
+    """Offline weight quantization: checkpoint in → pre-quantized orbax
+    checkpoint out. Serving boots from the output skip the minutes-long
+    eager re-quantization of the 3B tree (the weight-side analog of the
+    reference's TRT save-engine/reload flow, build_engine.py:141-150;
+    graphs are covered separately by `aot-compile` + the XLA cache)."""
+    from tts_inference_tpu.models.quant import (
+        quantize_llama_params, to_plain)
+    from tts_inference_tpu.training.checkpoint import save_params
+
+    t0 = time.perf_counter()
+    args.no_warmup = True       # weights only; graphs are aot-compile's job
+    rt = _build_runtime(args)   # loads params; --quantize quantizes them
+    params = rt.engine.core.params
+    from tts_inference_tpu.models.quant import QuantEmbed, QuantLinear
+
+    if not isinstance(params.get("embed"), (QuantEmbed, QuantLinear)):
+        params = quantize_llama_params(params, bits=args.weight_bits)
+    import dataclasses
+
+    save_params(args.out, to_plain(params), metadata={
+        "vocab_size": rt.config.model.vocab_size,
+        "quantized": args.weight_bits,
+        "model_config": dataclasses.asdict(rt.config.model),
+    })
+    print(json.dumps({"out": args.out, "weight_bits": args.weight_bits,
+                      "wall_s": round(time.perf_counter() - t0, 1)}))
+    return 0
+
+
 def cmd_devices(args) -> int:
     """Device visibility check (reference: test_gpu.py nvidia-smi)."""
     import jax
@@ -302,6 +332,15 @@ def main(argv=None) -> int:
     d.add_argument("--voice", default="tara")
     d.add_argument("--max-tokens", type=int, default=256)
     d.set_defaults(fn=cmd_dump_tokens)
+
+    q = sub.add_parser("quantize",
+                       help="offline weight quantization → orbax checkpoint "
+                            "(serve boots skip re-quantizing)")
+    _add_runtime_args(q)
+    q.add_argument("--out", required=True,
+                   help="output checkpoint dir (serve/generate "
+                        "--model-path this)")
+    q.set_defaults(fn=cmd_quantize)
 
     a = sub.add_parser("aot-compile", help="warm the XLA compile cache")
     _add_runtime_args(a)

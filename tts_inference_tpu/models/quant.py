@@ -37,7 +37,7 @@ class QuantEmbed(NamedTuple):
 class QuantLinearI4(NamedTuple):
     """(in, out) weight as packed int4 + per-(group, out-channel) scales.
 
-    Two int4 values per int8 byte, per-group split-half packed along the
+    Two int4 values per int8 byte, global split-half packed along the
     `in` dimension (ops/pallas/int4_matmul.py docstring has the layout).
     The out dimension of ``w_p`` may be lane-padded to a multiple of 128;
     ``scale.shape[1]`` is the true out width and ``in // scale.shape[0]``
@@ -180,3 +180,46 @@ def head_logits(hidden: jnp.ndarray, w, base: int = 0) -> jnp.ndarray:
         "...h,hv->...v", hidden, w[:, base:],
         preferred_element_type=jnp.float32,
     )
+
+
+# -- offline-quantized checkpoint codec ---------------------------------------
+# A quantized params tree contains QuantLinear/QuantEmbed/QuantLinearI4
+# NamedTuples, which orbax restores as anonymous containers. to_plain/
+# from_plain round-trip them through marker-keyed dicts (all leaves stay
+# arrays), so `cli quantize` can save a pre-quantized checkpoint once and
+# serving boots skip the minutes-long eager re-quantization of the 3B tree
+# (the weight-side analog of the TRT save-engine/reload flow).
+
+_QKINDS = {
+    "__q_linear_i8__": QuantLinear,
+    "__q_embed_i8__": QuantEmbed,
+    "__q_linear_i4__": QuantLinearI4,
+}
+_QMARKERS = {v: k for k, v in _QKINDS.items()}
+
+
+def to_plain(tree):
+    """Quantized params tree → plain dict/list pytree (orbax-safe)."""
+    t = type(tree)
+    if t in _QMARKERS:
+        return {_QMARKERS[t]: dict(tree._asdict())}
+    if isinstance(tree, dict):
+        return {k: to_plain(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [to_plain(v) for v in tree]
+    return tree
+
+
+def from_plain(tree):
+    """Inverse of to_plain: rebuild the quantized NamedTuples."""
+    if isinstance(tree, dict):
+        if len(tree) == 1:
+            key = next(iter(tree))
+            if key in _QKINDS:
+                fields = tree[key]
+                cls = _QKINDS[key]
+                return cls(**{f: fields[f] for f in cls._fields})
+        return {k: from_plain(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [from_plain(v) for v in tree]
+    return tree

@@ -75,12 +75,33 @@ class Runtime:
             from tts_inference_tpu.training.checkpoint import restore_params
 
             params, meta = restore_params(model_path)
-            if meta.get("vocab_size"):
+            if meta.get("model_config"):
+                # checkpoint carries its own dims (`cli quantize` output);
+                # only performance knobs carry over from the passed config
+                from tts_inference_tpu.config import ModelConfig
+
+                mc = ModelConfig(**{
+                    k: v for k, v in meta["model_config"].items()
+                    if k in ModelConfig.__dataclass_fields__
+                })
+                mc = dataclasses.replace(
+                    mc,
+                    use_pallas_attention=config.model.use_pallas_attention,
+                )
+                config = dataclasses.replace(config, model=mc)
+            elif meta.get("vocab_size"):
                 config = dataclasses.replace(
                     config, model=dataclasses.replace(
                         config.model, vocab_size=int(meta["vocab_size"])
                     )
                 )
+            if meta.get("quantized"):
+                # pre-quantized checkpoint (`cli quantize` output): rebuild
+                # the Quant* leaves and skip the boot-time re-quantization
+                from tts_inference_tpu.models.quant import from_plain
+
+                params = from_plain(params)
+                quantize = False
         elif model_path:
             from tts_inference_tpu.models.loader import load_llama_checkpoint
 
