@@ -256,3 +256,18 @@ def test_paged_prefix_reservation_covers_prefix(params):
     )
     # prefix 8 + suffix bucket 8 (>=1 tok) + 40 + slack 5 = 61 → 4 blocks
     assert len(core._slot_blocks[0]) == 4
+
+
+def test_engine_paged_int4_weights_matches_dense(params):
+    """int4 weights (the third capacity feature) compose with paged + int8
+    KV: greedy tokens equal the dense-KV engine's with the SAME int4
+    params — weight quantization is orthogonal to the KV layout."""
+    from tts_inference_tpu.models.quant import quantize_llama_params
+
+    q4 = quantize_llama_params(params, bits=4)
+    d = dataclasses.replace(DENSE, kv_cache_int8=True)
+    p = dataclasses.replace(PAGED, kv_cache_int8=True)
+    prompts = [[7, 8, 9, 10, 11]]
+    a = engine_tokens(EngineCore(q4, CFG, p, eos_id=5), prompts, [0], [24])
+    b = engine_tokens(EngineCore(q4, CFG, d, eos_id=5), prompts, [0], None)
+    np.testing.assert_array_equal(a[:1], b[:1])
