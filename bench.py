@@ -390,7 +390,9 @@ def main() -> int:
         args.tokens = math.ceil(
             args.long_seconds * P.SAMPLE_RATE / P.SAMPLES_PER_FRAME
         ) * P.FRAME_SIZE
-        max_output = 12000
+        # ≥ the reference's 12,000-token class, rounded so max_seq
+        # (128 input + output) is a multiple of the 128-token KV block
+        max_output = 12032
         args.paged_kv = True
         if args.slots == 8:
             args.slots = 4
