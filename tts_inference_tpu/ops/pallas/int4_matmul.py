@@ -5,8 +5,10 @@ the int8 path at its HBM floor (~3.9 ms/step for the 3B model). Halving
 the weight bytes again needs int4 — but the pure-XLA probe ran 0.6× int8
 speed because XLA materializes the unpacked weights in HBM (69 GB/s
 effective). This kernel keeps the packed bytes packed until they are in
-VMEM. (Reference motivation: the bitsandbytes 4-bit weight loads of
-`vllm_inference/main.py` / SURVEY.md §2.2 — rebuilt as a TPU kernel.)
+VMEM. (Reference motivation: the bitsandbytes 4-bit weight loads,
+`pretrained_base/modal_finetune_base.py:96-102` /
+`vllm_inference/modal_benchmark.py:76-91`, SURVEY.md §2.2 — rebuilt as a
+TPU serving kernel.)
 
 Two earlier shapes of this kernel were measured and discarded on-chip:
 per-group split-half packing with one small matmul per 128-group (1.05×
@@ -99,8 +101,9 @@ def _kernel(x_ref, wp_ref, slo_ref, shi_ref, o_ref, acc_ref, *,
     """x_ref (TM, K) resident; wp_ref (TKP, TN) int8; slo/shi (1, 1, TN).
 
     The packed bytes go to the MXU *as bytes* (one i8→dtype convert); only
-    the high nibble pays a shift. Three (TM, TKP) × (TKP, TN) contractions
-    per block, scales applied to the partial sums.
+    the high nibble pays a shift. Three (TM, TKP)-row contractions per
+    block, issued as two dots (the H operand's pair shares one launch);
+    scales apply to the partial sums.
     """
     kk = pl.program_id(2)
 
