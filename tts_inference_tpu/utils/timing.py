@@ -6,6 +6,8 @@ result dicts and X-* headers) as a reusable utility, plus jax.profiler hooks.
 from __future__ import annotations
 
 import contextlib
+import os
+import sys
 import time
 from typing import Dict, List, Optional
 
@@ -22,12 +24,17 @@ class PhaseTimer:
     @contextlib.contextmanager
     def phase(self, name: str):
         start = time.perf_counter()
+        verbose = os.environ.get("TTS_WARMUP_LOG")
+        if verbose:
+            print(f"[phase+] {name}", file=sys.stderr, flush=True)
         try:
             yield
         finally:
-            self.phases[name] = self.phases.get(name, 0.0) + (
-                time.perf_counter() - start
-            ) * 1000.0
+            dt = (time.perf_counter() - start) * 1000.0
+            self.phases[name] = self.phases.get(name, 0.0) + dt
+            if verbose:
+                print(f"[phase-] {name} {dt:.0f} ms", file=sys.stderr,
+                      flush=True)
 
     def mark(self, name: str) -> float:
         """Record time since construction (ms) the first time `name` fires."""
