@@ -32,6 +32,7 @@ BASELINE_RTF = 1.42  # reference warm streaming sweep mean (spec.md:62)
 def build_runtime(smoke: bool, quantize: bool = False,
                   steps_per_call: int = 7, slots: int = 8,
                   kv_int8: bool = False, tp: int = 1, dp: int = 1,
+                  kv_int4: bool = False,
                   prefix_cache: bool = False, paged_kv: bool = False,
                   kv_pool_tokens=None, pallas_attention: bool = False,
                   first_lookahead=None, max_output: int = 2048,
@@ -68,6 +69,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             prefill_buckets=tuple(prefill_buckets),
             decode_steps_per_call=steps_per_call,
             kv_cache_int8=kv_int8,
+            kv_cache_int4=kv_int4,
             prefix_cache=prefix_cache,
             paged_kv=paged_kv,
             kv_pool_tokens=kv_pool_tokens,
@@ -304,6 +306,10 @@ def main() -> int:
                     help="continuous-batching slots (cache size scales)")
     ap.add_argument("--kv-int8", action="store_true",
                     help="int8 KV cache (2x slot capacity)")
+    ap.add_argument("--kv-int4", action="store_true",
+                    help="int4 KV pools (requires --paged-kv): halves the "
+                         "int8 pools' bytes again — KV-read-bound regimes "
+                         "(long-audio, 64 slots)")
     ap.add_argument("--first-lookahead", type=int, default=None,
                     help="progressive lookahead for the first chunk "
                          "(single mode; trades bounded first-chunk error "
@@ -416,13 +422,18 @@ def main() -> int:
         if not os.path.exists(os.path.join(tokenizer_path, "tokenizer.json")):
             write_tiny_tokenizer(tokenizer_path)
         prefill_buckets = (16, 32, 64, 128)
+    if args.kv_int4 and args.kv_int8:
+        args.kv_int8 = False   # int4 supersedes when both are requested
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
                        args.slots, args.kv_int8, args.tp, args.dp,
-                       args.prefix_cache, args.paged_kv,
-                       args.kv_pool_tokens, args.pallas_attention,
-                       args.first_lookahead, max_output,
-                       tokenizer_path, prefill_buckets, qos_cfg,
-                       args.weight_bits)
+                       kv_int4=args.kv_int4,
+                       prefix_cache=args.prefix_cache, paged_kv=args.paged_kv,
+                       kv_pool_tokens=args.kv_pool_tokens,
+                       pallas_attention=args.pallas_attention,
+                       first_lookahead=args.first_lookahead,
+                       max_output=max_output, tokenizer_path=tokenizer_path,
+                       prefill_buckets=prefill_buckets, qos=qos_cfg,
+                       weight_bits=args.weight_bits)
     if args.mode == "long":
         warm = run_concurrent(rt, args.tokens, args.streams,
                               args.native_protocol, args.pipeline_depth,

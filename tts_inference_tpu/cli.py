@@ -47,6 +47,11 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
                    help="int8 KV cache: 2x slot capacity, half attention "
                         "read bandwidth (32-slot serving needs this to "
                         "fit HBM)")
+    p.add_argument("--kv-int4", action="store_true",
+                   help="int4 KV pools (requires --paged-kv): halves the "
+                        "int8 pools' bytes again — for the KV-read-bound "
+                        "long-audio / 64-slot regimes; lossier than int8, "
+                        "gate with tools/audio_fidelity.py")
     p.add_argument("--paged-kv", action="store_true",
                    help="paged/blocked KV cache (block pool + per-slot "
                         "tables; capacity-gated admission)")
@@ -119,6 +124,8 @@ def _build_runtime(args):
         eng_over["prefix_cache"] = True
     if getattr(args, "kv_int8", False):
         eng_over["kv_cache_int8"] = True
+    if getattr(args, "kv_int4", False):
+        eng_over["kv_cache_int4"] = True
     if getattr(args, "paged_kv", False):
         eng_over["paged_kv"] = True
     if getattr(args, "kv_pool_tokens", None):

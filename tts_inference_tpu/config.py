@@ -188,6 +188,13 @@ class EngineConfig:
     # read bandwidth; per-(slot, position, head) scales, dequant fused into
     # the attention dots. Off by default (bit-identical serving).
     kv_cache_int8: bool = False
+    # int4 KV pools (paged mode only): packs two int4 per byte with the
+    # head-pair layout of ops/pallas/paged_attention_int4.py — halves the
+    # int8 pools' bytes AGAIN (capacity and attention-read bandwidth; the
+    # long-audio and 64-slot regimes are KV-read-bound, PERF.md). Lossier
+    # than int8 (per-(pos,head) absmax/7): gate default-on decisions with
+    # tools/audio_fidelity.py on real checkpoints, like --weight-bits 4.
+    kv_cache_int4: bool = False
     # Paged/blocked KV cache (reference: TRT-LLM paged KV, 32 tok/block,
     # PIPELINE_REPORT.md:58-64): slots reserve blocks from a shared pool
     # sized in TOKENS (kv_pool_tokens; default max_batch_size*max_seq/2)

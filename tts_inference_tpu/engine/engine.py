@@ -103,6 +103,9 @@ class EngineCore:
             else 0
         )
 
+        if engine_cfg.kv_cache_int4 and not engine_cfg.paged_kv:
+            raise ValueError("kv_cache_int4 requires paged_kv (the dense "
+                             "cache has no int4 layout)")
         if engine_cfg.paged_kv:
             bs_blk = engine_cfg.kv_block_size
             if self.max_seq % bs_blk:
@@ -118,6 +121,7 @@ class EngineCore:
                 model_cfg, self.batch, self.max_seq,
                 num_blocks=num_blocks, block_size=bs_blk,
                 int8=engine_cfg.kv_cache_int8,
+                int4=engine_cfg.kv_cache_int4,
             )
             # host-side block allocator: block 0 is the trash block
             self._free_blocks = list(range(num_blocks - 1, 0, -1))
@@ -161,9 +165,18 @@ class EngineCore:
             psh = M.shardings(
                 M.adapt_pspecs(M.llama_param_pspecs(model_cfg), params), mesh
             )
+            if engine_cfg.kv_cache_int4:
+                # head-pair packing: a TP shard must own whole pairs
+                pairs = model_cfg.num_key_value_heads // 2
+                if pairs % mesh.shape["tp"]:
+                    raise ValueError(
+                        f"int4 KV under TP needs tp | kv_heads/2 "
+                        f"(pairs={pairs}, tp={mesh.shape['tp']})"
+                    )
             cache_pspecs = (
                 M.paged_kv_cache_pspecs(
-                    model_cfg, int8=engine_cfg.kv_cache_int8
+                    model_cfg, int8=engine_cfg.kv_cache_int8,
+                    int4=engine_cfg.kv_cache_int4,
                 ) if engine_cfg.paged_kv else
                 M.kv_cache_pspecs(model_cfg, int8=engine_cfg.kv_cache_int8)
             )
@@ -237,28 +250,44 @@ class EngineCore:
             pb = engine_cfg.prefix_len
             n_entries = engine_cfg.prefix_entries
             int8 = engine_cfg.kv_cache_int8
+            int4 = engine_cfg.kv_cache_int4
             self._prefix_map: "dict" = _collections.OrderedDict()
             self._prefix_free = list(range(n_entries))
             hkv, hd = model_cfg.num_key_value_heads, model_cfg.head_dim
             nl = model_cfg.num_hidden_layers
-            kv_dt = jnp.int8 if int8 else llama.param_dtype(model_cfg)
-            pool_shape = (n_entries, pb, hkv, hd)
+            if int4:
+                # int4 entries are stored PACKED (built through an int4
+                # cache, so layer>0 K/V reflect the quantized layer-0
+                # attention reads exactly as a plain prefill would — the
+                # bit-exactness property; see _prefix_build_impl)
+                pool_shape = (n_entries, pb, (hkv // 2) * hd)
+                sc_shape = (n_entries, hkv, pb)     # transposed layout
+            else:
+                pool_shape = (n_entries, pb, hkv, hd)
+                sc_shape = pool_shape[:3]
+            kv_dt = jnp.int8 if (int8 or int4) else llama.param_dtype(
+                model_cfg)
             mk = lambda: tuple(  # noqa: E731
                 jnp.zeros(pool_shape, kv_dt) for _ in range(nl)
             )
             mks = lambda: tuple(  # noqa: E731
-                jnp.zeros(pool_shape[:3], jnp.float32) for _ in range(nl)
-            ) if int8 else ()
+                jnp.zeros(sc_shape, jnp.float32) for _ in range(nl)
+            ) if (int8 or int4) else ()
             self._pool = (mk(), mk(), mks(), mks())
             ppfx_kw: dict = {}
             pdpfx_kw: dict = {}
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                pool_sh = NamedSharding(mesh, P(None, None, "tp", None))
-                pscale_sh = NamedSharding(mesh, P(None, None, "tp"))
+                if int4:
+                    pool_sh = NamedSharding(mesh, P(None, None, "tp"))
+                    pscale_sh = NamedSharding(mesh, P(None, "tp", None))
+                else:
+                    pool_sh = NamedSharding(mesh, P(None, None, "tp", None))
+                    pscale_sh = NamedSharding(mesh, P(None, None, "tp"))
                 pk_sh = tuple(pool_sh for _ in range(nl))
-                psc_sh = tuple(pscale_sh for _ in range(nl)) if int8 else ()
+                psc_sh = tuple(pscale_sh for _ in range(nl)) \
+                    if (int8 or int4) else ()
                 pools_sh = (pk_sh, pk_sh, psc_sh, psc_sh)
                 self._pool = jax.device_put(self._pool, pools_sh)
                 # (params, tokens, lens, ptoks, plens, pidx, pools…,
@@ -282,7 +311,7 @@ class EngineCore:
                 )
             # (params, ptoks (1, PB), plen (1,)) → per-layer prefix KV
             self._prefix_build = jax.jit(
-                partial(self._prefix_build_impl, model_cfg, pb, int8)
+                partial(self._prefix_build_impl, model_cfg, pb, int8, int4)
             )
             # (pools…, new…, idx) → pools, donated in place
             self._pool_put = jax.jit(
@@ -326,12 +355,26 @@ class EngineCore:
         )
 
     @staticmethod
-    def _prefix_build_impl(model_cfg, pb, int8, params, ptoks, plen):
+    def _prefix_build_impl(model_cfg, pb, int8, int4, params, ptoks, plen):
         """Compute prefix KV in a throwaway 1-slot cache of length PB.
 
         Causality makes this exact: prefix tokens never attend the suffix,
         so their KV is identical whether computed alone or as part of a full
-        prompt prefill."""
+        prompt prefill. The throwaway cache uses the SAME quantization mode
+        as the serving cache — layer>0 K/V depend on the quantized layer-0
+        attention reads, so only a matching-precision build reproduces a
+        plain prefill's cache bytes bit-for-bit.
+        """
+        if int4:
+            # one real block of size PB (block 1; 0 stays the trash block)
+            cache = llama.init_paged_kv_cache(
+                model_cfg, 1, pb, num_blocks=2, block_size=pb, int4=True)
+            cache = cache._replace(
+                block_table=jnp.ones((1, 1), jnp.int32))
+            _, cache = llama.prefill(params, model_cfg, ptoks, plen, cache)
+            blk = lambda t: tuple(x[1:2] for x in t)  # noqa: E731
+            return (blk(cache.k), blk(cache.v),
+                    blk(cache.k_scale), blk(cache.v_scale))
         cache = llama.init_kv_cache(model_cfg, 1, pb, int8=int8)
         _, cache = llama.prefill(params, model_cfg, ptoks, plen, cache)
         return (cache.k, cache.v, cache.k_scale, cache.v_scale)
@@ -396,6 +439,23 @@ class EngineCore:
         )
         rows = jnp.where(inject_mask[:, None], rows, 0)    # (B, PB)
         offs = jnp.broadcast_to(pos[None, :] % bs_blk, (b, pb))
+
+        if cache.k[0].ndim == 3:
+            # int4 packed pools: prefix entries are stored PACKED (built by
+            # an int4-cache prefill — see _prefix_build_impl), so injection
+            # is a straight byte copy; scale pools are transposed
+            def inj4(c, pool):
+                return c.at[rows, offs].set(pool[pidx], mode="drop")
+
+            def inj4s(c, pool):
+                sel = jnp.swapaxes(pool[pidx], -1, -2)     # (B, PB, Hkv)
+                return c.at[rows, :, offs].set(sel, mode="drop")
+
+            k = tuple(inj4(c, p) for c, p in zip(cache.k, pool_k))
+            v = tuple(inj4(c, p) for c, p in zip(cache.v, pool_v))
+            ks = tuple(inj4s(c, p) for c, p in zip(cache.k_scale, pool_ks))
+            vs = tuple(inj4s(c, p) for c, p in zip(cache.v_scale, pool_vs))
+            return cache._replace(k=k, v=v, k_scale=ks, v_scale=vs)
 
         def inj(c, pool):
             sel = pool[pidx]                               # (B, PB, …)

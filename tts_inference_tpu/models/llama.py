@@ -177,6 +177,14 @@ class PagedKVCache(NamedTuple):
 
     int8 mode mirrors KVCache: int8 pools + per-(block, position, head)
     fp32 scale pools.
+
+    int4 mode (kv_cache_int4) packs two int4 values per byte with the
+    head-pair split layout of ops/pallas/paged_attention_int4.py: pools
+    become (num_blocks, block_size, (Hkv/2)·D) int8 (recognizable by
+    ndim == 3) and scale pools are TRANSPOSED, (num_blocks, Hkv,
+    block_size), so their HBM layout stays lane-aligned. Halves the
+    int8 pools' bytes again — both capacity and attention-read bandwidth
+    (the long-audio and 64-slot regimes are KV-read-bound, PERF.md).
     """
 
     k: tuple
@@ -207,17 +215,34 @@ class PagedKVCache(NamedTuple):
 def init_paged_kv_cache(
     cfg: ModelConfig, batch: int, max_seq: int, *,
     num_blocks: int, block_size: int = 128, dtype=None, int8: bool = False,
+    int4: bool = False,
 ) -> PagedKVCache:
     """Pool of `num_blocks` blocks (block 0 reserved as trash) + per-slot
     tables sized for max_seq positions."""
     if max_seq % block_size:
         raise ValueError(f"max_seq {max_seq} not a multiple of "
                          f"block_size {block_size}")
+    if int8 and int4:
+        raise ValueError("kv int8 and int4 are mutually exclusive")
     max_blocks = max_seq // block_size
     shape = (num_blocks, block_size, cfg.num_key_value_heads, cfg.head_dim)
     n = cfg.num_hidden_layers
     table = jnp.zeros((batch, max_blocks), jnp.int32)
     lengths = jnp.zeros((batch,), jnp.int32)
+    if int4:
+        hkv = cfg.num_key_value_heads
+        if hkv % 2:
+            raise ValueError(f"int4 KV needs an even kv-head count, "
+                             f"got {hkv} (head-pair packing)")
+        pshape = (num_blocks, block_size, (hkv // 2) * cfg.head_dim)
+        sshape = (num_blocks, hkv, block_size)   # transposed (lane-aligned)
+        return PagedKVCache(
+            k=tuple(jnp.zeros(pshape, jnp.int8) for _ in range(n)),
+            v=tuple(jnp.zeros(pshape, jnp.int8) for _ in range(n)),
+            block_table=table, lengths=lengths,
+            k_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
+            v_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
+        )
     if int8:
         sshape = shape[:3]
         return PagedKVCache(
@@ -340,6 +365,14 @@ def _layer(
             return c.at[rows, offs].set(
                 new.astype(c.dtype), mode="drop", unique_indices=True,
             )
+
+        def write_sc_t(c, new):
+            # int4 mode's TRANSPOSED (N, Hkv, bs) scale pools: advanced
+            # indices (rows, offs) select dims 0 and 2; the head axis rides
+            # along (value shape (B, S, Hkv))
+            return c.at[rows, :, offs].set(
+                new.astype(c.dtype), mode="drop", unique_indices=True,
+            )
     elif s == 1:
         # decode hot path: redirect masked slots to a trash position instead
         # of select-copying the whole cache (bandwidth!). Position max_seq-1
@@ -364,7 +397,19 @@ def _layer(
                 return jnp.where(wm, upd, cb)
             return jax.vmap(one)(c, new, write_pos, write_mask)
 
-    if ks is not None:
+    packed_i4 = table is not None and cache_k.ndim == 3
+    if packed_i4:
+        from tts_inference_tpu.ops.pallas.paged_attention_int4 import (
+            quantize_kv_int4,
+        )
+
+        kq, k_sc = quantize_kv_int4(k)
+        vq, v_sc = quantize_kv_int4(v)
+        cache_k = write(cache_k, kq)
+        cache_v = write(cache_v, vq)
+        ks = write_sc_t(ks, k_sc)
+        vs = write_sc_t(vs, v_sc)
+    elif ks is not None:
         kq, k_sc = _quantize_kv(k)
         vq, v_sc = _quantize_kv(v)
         cache_k = write(cache_k, kq)
@@ -399,7 +444,15 @@ def _layer(
             )
 
             qg = q.reshape(b, nkv, nq // nkv, hd)
-            if ks is None:
+            if packed_i4:
+                from tts_inference_tpu.ops.pallas.paged_attention_int4 import (  # noqa: E501
+                    paged_decode_attention_int4,
+                )
+
+                attn = paged_decode_attention_int4(
+                    qg, cache_k, cache_v, ks, vs, idx, write_pos
+                ).reshape(b, 1, nq, hd)
+            elif ks is None:
                 attn = paged_decode_attention(
                     qg, cache_k, cache_v, idx, write_pos
                 ).reshape(b, 1, nq, hd)
@@ -407,6 +460,22 @@ def _layer(
                 attn = paged_decode_attention_int8(
                     qg, cache_k, cache_v, ks, vs, idx, write_pos
                 ).reshape(b, 1, nq, hd)
+        elif packed_i4:
+            # XLA int4 view (CPU tests, prefill): gather packed blocks,
+            # unpack the nibbles, dequantize with the transposed scales
+            from tts_inference_tpu.ops.pallas.paged_attention_int4 import (
+                unpack_kv_int4,
+            )
+
+            dt = k.dtype
+            k_int = unpack_kv_int4(cache_k[idx], nkv)  # (B, WB, bs, Hkv, D)
+            v_int = unpack_kv_int4(cache_v[idx], nkv)
+            sck = jnp.swapaxes(ks[idx], -1, -2)        # (B, WB, bs, Hkv)
+            scv = jnp.swapaxes(vs[idx], -1, -2)
+            ck = (k_int.astype(jnp.float32) * sck[..., None]).reshape(
+                b, w, nkv, hd).astype(dt)
+            cv = (v_int.astype(jnp.float32) * scv[..., None]).reshape(
+                b, w, nkv, hd).astype(dt)
         else:
             # XLA paged view: gather the window's blocks from the pool into
             # a dense (B, window, Hkv, D) temp — correct everywhere (CPU

@@ -120,22 +120,34 @@ def kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False):
     )
 
 
-def paged_kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False):
+def paged_kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False,
+                          int4: bool = False):
     """PagedKVCache(k, v, block_table, lengths[, scales]): the block POOL is
     shared by all slots (replicated over dp — any slot's table may point at
-    any pool row), kv heads sharded over tp; tables/lengths follow slots."""
+    any pool row), kv heads sharded over tp; tables/lengths follow slots.
+
+    int4 mode: pools are packed (N, bs, (Hkv/2)·D) — the channel axis is
+    pair-major so sharding it over tp keeps whole head pairs (= contiguous
+    kv-head ranges, matching the query-head sharding); scale pools are
+    transposed (N, Hkv, bs), heads sharded over tp.
+    """
     from tts_inference_tpu.models.llama import PagedKVCache
 
-    spec = P(None, None, "tp", None)
-    sspec = P(None, None, "tp")
+    if int4:
+        spec = P(None, None, "tp")
+        sspec = P(None, "tp", None)
+    else:
+        spec = P(None, None, "tp", None)
+        sspec = P(None, None, "tp")
     n = model_cfg.num_hidden_layers
+    quant = int8 or int4
     return PagedKVCache(
         k=tuple(spec for _ in range(n)),
         v=tuple(spec for _ in range(n)),
         block_table=P("dp", None),
         lengths=P("dp"),
-        k_scale=tuple(sspec for _ in range(n)) if int8 else (),
-        v_scale=tuple(sspec for _ in range(n)) if int8 else (),
+        k_scale=tuple(sspec for _ in range(n)) if quant else (),
+        v_scale=tuple(sspec for _ in range(n)) if quant else (),
     )
 
 
