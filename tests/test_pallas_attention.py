@@ -201,8 +201,9 @@ def test_paged_int8_kernel_matches_reference(g, wb):
     q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
     kp = jnp.asarray(rng.integers(-127, 128, size=(10, bs, hkv, d)), jnp.int8)
     vp = jnp.asarray(rng.integers(-127, 128, size=(10, bs, hkv, d)), jnp.int8)
-    ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, bs, hkv)), jnp.float32)
-    vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, bs, hkv)), jnp.float32)
+    # scale pools use the transposed (N, Hkv, bs) layout
+    ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, hkv, bs)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, hkv, bs)), jnp.float32)
     table = jnp.asarray([[1, 3, 5, 7][:wb], [8, 2, 6, 4][:wb]], jnp.int32)
     pos = jnp.asarray([wb * bs // 3, wb * bs - 1], jnp.int32)
     want = paged_decode_attention_int8_reference(q, kp, vp, ks, vs, table, pos)
@@ -222,8 +223,8 @@ def test_paged_int8_kernel_masks_past_position():
     q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
     kp = jnp.asarray(rng.integers(-127, 128, size=(6, bs, hkv, d)), jnp.int8)
     vp = jnp.asarray(rng.integers(-127, 128, size=(6, bs, hkv, d)), jnp.int8)
-    ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, bs, hkv)), jnp.float32)
-    vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, bs, hkv)), jnp.float32)
+    ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, hkv, bs)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, hkv, bs)), jnp.float32)
     table = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
     pos = jnp.asarray([20], jnp.int32)
     out1 = paged_decode_attention_int8(q, kp, vp, ks, vs, table, pos,

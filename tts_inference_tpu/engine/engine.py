@@ -461,10 +461,17 @@ class EngineCore:
             sel = pool[pidx]                               # (B, PB, …)
             return c.at[rows, offs].set(sel.astype(c.dtype), mode="drop")
 
+        def inj_sc(c, pool):
+            # int8 scale pools in the paged cache are transposed
+            # (N, Hkv, bs); the prefix pool keeps the dense (E, PB, Hkv)
+            # layout, so the (B, PB, Hkv) selection scatters to dims (0, 2)
+            sel = pool[pidx]
+            return c.at[rows, :, offs].set(sel, mode="drop")
+
         k = tuple(inj(c, p) for c, p in zip(cache.k, pool_k))
         v = tuple(inj(c, p) for c, p in zip(cache.v, pool_v))
-        ks = tuple(inj(c, p) for c, p in zip(cache.k_scale, pool_ks))
-        vs = tuple(inj(c, p) for c, p in zip(cache.v_scale, pool_vs))
+        ks = tuple(inj_sc(c, p) for c, p in zip(cache.k_scale, pool_ks))
+        vs = tuple(inj_sc(c, p) for c, p in zip(cache.v_scale, pool_vs))
         return cache._replace(k=k, v=v, k_scale=ks, v_scale=vs)
 
     @staticmethod

@@ -244,7 +244,11 @@ def init_paged_kv_cache(
             v_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
         )
     if int8:
-        sshape = shape[:3]
+        # scales TRANSPOSED (N, Hkv, bs): heads-minor would tile-pad 8→128
+        # lanes in HBM and the padded scale DMA cost more than the saved KV
+        # bytes (kv_kernel_bench measured the heads-minor int8 kernel SLOWER
+        # than bf16 pools at B=64)
+        sshape = (num_blocks, cfg.num_key_value_heads, block_size)
         return PagedKVCache(
             k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
             v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
@@ -414,8 +418,12 @@ def _layer(
         vq, v_sc = _quantize_kv(v)
         cache_k = write(cache_k, kq)
         cache_v = write(cache_v, vq)
-        ks = write(ks, k_sc)
-        vs = write(vs, v_sc)
+        if table is not None:   # paged int8: transposed scale pools
+            ks = write_sc_t(ks, k_sc)
+            vs = write_sc_t(vs, v_sc)
+        else:
+            ks = write(ks, k_sc)
+            vs = write(vs, v_sc)
     else:
         cache_k = write(cache_k, k.astype(cache_k.dtype))
         cache_v = write(cache_v, v.astype(cache_v.dtype))
@@ -484,8 +492,9 @@ def _layer(
             cv = cache_v[idx].reshape(b, w, nkv, hd)
             if ks is not None:
                 dt = k.dtype
-                sck = ks[idx].reshape(b, w, nkv)
-                scv = vs[idx].reshape(b, w, nkv)
+                # paged int8 scale pools are transposed (N, Hkv, bs)
+                sck = jnp.swapaxes(ks[idx], -1, -2).reshape(b, w, nkv)
+                scv = jnp.swapaxes(vs[idx], -1, -2).reshape(b, w, nkv)
                 ck = (ck.astype(jnp.float32) * sck[..., None]).astype(dt)
                 cv = (cv.astype(jnp.float32) * scv[..., None]).astype(dt)
     else:

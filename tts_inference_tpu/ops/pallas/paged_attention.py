@@ -154,9 +154,18 @@ def paged_decode_attention(
 def _kernel_int8(table_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, m_scr, l_scr, acc_scr):
     """int8-pool twin of _kernel: K/V blocks are int8 with per-(position,
-    head) fp32 scales; dequant happens in VMEM right after the DMA — the
-    HBM read is HALF the fp16 kernel's bytes (the decode step is
-    bandwidth-bound, so int8 pools are faster, not just smaller)."""
+    head) fp32 scales; the HBM read is HALF the fp16 kernel's bytes (the
+    decode step is bandwidth-bound, so int8 pools are faster, not just
+    smaller).
+
+    Scales are stored TRANSPOSED, (1, Hkv, bs) per block — heads-minor
+    (bs, Hkv) would tile-pad 8→128 lanes in HBM, and the padded scale DMA
+    measurably exceeded the saved KV bytes (kv_kernel_bench: the original
+    heads-minor int8 kernel ran SLOWER than bf16 at B=64, 473 vs 375 µs).
+    They are applied AFTER the integer dots — to score columns (K) and
+    probability rows (V), equal to dequantizing first by linearity — so
+    K/V bytes feed the MXU straight from the DMA with one i8→f32 convert
+    and no per-element scale multiply."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     hkv, gp, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
@@ -174,18 +183,18 @@ def _kernel_int8(table_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(j * bs <= pos_ref[i])   # skip fully-masked tail blocks
     def _block():
-        # dequantize the whole block once (vector ops over lanes), then
-        # run the identical online-softmax update per kv head
-        kf = k_ref[0].astype(jnp.float32) * ks_ref[0][:, :, None]
-        vf = v_ref[0].astype(jnp.float32) * vs_ref[0][:, :, None]
+        kf = k_ref[0].astype(jnp.float32)                # (bs, Hkv, D)
+        vf = v_ref[0].astype(jnp.float32)
         for h in range(hkv):  # static unroll over kv heads
             q = q_ref[0, h].astype(jnp.float32)          # (Gp, D)
-            k = kf[:, h]                                 # (bs, D)
+            k = kf[:, h]                                 # (bs, D) int vals
             v = vf[:, h]
+            ksc = ks_ref[0, h:h + 1, :]                  # (1, bs)
+            vsc = vs_ref[0, h:h + 1, :]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale                                    # (Gp, bs)
+            ) * (ksc * scale)                            # (Gp, bs)
             s = jnp.where(valid, s, -1e30)
             m_prev = m_scr[h, :, :1]                     # (Gp, 1)
             l_prev = l_scr[h, :, :1]
@@ -195,7 +204,7 @@ def _kernel_int8(table_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             p = jnp.exp(s - m_new)                       # (Gp, bs)
             l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
             pv = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p * vsc, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                            # (Gp, D)
             acc_scr[h] = acc_scr[h] * alpha + pv
@@ -218,7 +227,7 @@ def _pallas_paged_attention_int8(q, k_pool, v_pool, ks_pool, vs_pool,
     kv_spec = pl.BlockSpec((1, bs, hkv, d),
                            lambda i, j, table, pos: (table[i, j], 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, bs, hkv),
+    sc_spec = pl.BlockSpec((1, hkv, bs),
                            lambda i, j, table, pos: (table[i, j], 0, 0),
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -261,8 +270,8 @@ def paged_decode_attention_int8(
     q: jnp.ndarray,         # (B, Hkv, G, D)
     k_pool: jnp.ndarray,    # (N, bs, Hkv, D) int8
     v_pool: jnp.ndarray,    # (N, bs, Hkv, D) int8
-    ks_pool: jnp.ndarray,   # (N, bs, Hkv) fp32 scales
-    vs_pool: jnp.ndarray,   # (N, bs, Hkv) fp32 scales
+    ks_pool: jnp.ndarray,   # (N, Hkv, bs) fp32 scales (TRANSPOSED layout)
+    vs_pool: jnp.ndarray,   # (N, Hkv, bs) fp32 scales
     table: jnp.ndarray,     # (B, WB) int32 — window's block rows per slot
     pos: jnp.ndarray,       # (B,) int32
     *,
@@ -282,14 +291,18 @@ def paged_decode_attention_int8(
 
 def paged_decode_attention_int8_reference(q, k_pool, v_pool, ks_pool,
                                           vs_pool, table, pos):
-    """jnp twin: gather + dequantize the window, then dense attention."""
+    """jnp twin: gather + dequantize the window, then dense attention.
+
+    Scale pools use the kernel's transposed (N, Hkv, bs) layout."""
     b, hkv, g, d = q.shape
     bs = k_pool.shape[1]
     wb = table.shape[1]
+    ksc = jnp.swapaxes(ks_pool[table], -1, -2)       # (B, WB, bs, Hkv)
+    vsc = jnp.swapaxes(vs_pool[table], -1, -2)
     k = (k_pool[table].astype(jnp.float32)
-         * ks_pool[table][..., None]).reshape(b, wb * bs, hkv, d)
+         * ksc[..., None]).reshape(b, wb * bs, hkv, d)
     v = (v_pool[table].astype(jnp.float32)
-         * vs_pool[table][..., None]).reshape(b, wb * bs, hkv, d)
+         * vsc[..., None]).reshape(b, wb * bs, hkv, d)
     scale = 1.0 / math.sqrt(d)
     s = jnp.einsum("bhgd,bkhd->bhgk", q.astype(jnp.float32), k) * scale
     col = jnp.arange(wb * bs)[None, None, None, :]

@@ -135,10 +135,11 @@ def paged_kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False,
 
     if int4:
         spec = P(None, None, "tp")
-        sspec = P(None, "tp", None)
     else:
         spec = P(None, None, "tp", None)
-        sspec = P(None, None, "tp")
+    # quantized scale pools are transposed (N, Hkv, bs) in BOTH int8 and
+    # int4 modes — heads on axis 1
+    sspec = P(None, "tp", None)
     n = model_cfg.num_hidden_layers
     quant = int8 or int4
     return PagedKVCache(
