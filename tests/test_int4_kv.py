@@ -28,7 +28,9 @@ from tts_inference_tpu.ops.pallas.paged_attention_int4 import (
     pack_kv_int4,
     paged_decode_attention_int4,
     paged_decode_attention_int4_reference,
+    planes_to_scales,
     quantize_kv_int4,
+    scales_to_planes,
     unpack_kv_int4,
 )
 
@@ -57,10 +59,24 @@ def test_pack_unpack_roundtrip():
         q = rng.integers(-7, 8, size=shape).astype(np.int32)
         packed = pack_kv_int4(jnp.asarray(q))
         hkv = shape[-2]
-        assert packed.shape == (*shape[:-2], shape[-2] // 2 * shape[-1])
+        assert packed.shape == (*shape[:-2], hkv // 2, shape[-1])
         assert packed.dtype == jnp.int8
         back = np.asarray(unpack_kv_int4(packed, hkv))
         np.testing.assert_array_equal(back, q)
+
+
+def test_scale_plane_roundtrip():
+    rng = np.random.default_rng(5)
+    s = jnp.asarray(rng.uniform(size=(3, 7, 8)).astype(np.float32))
+    planes = scales_to_planes(s)
+    assert planes.shape == (3, 7, 2, 4)
+    # plane 0 = low heads (2p), plane 1 = high heads (2p+1)
+    np.testing.assert_array_equal(np.asarray(planes[..., 0, 1]),
+                                  np.asarray(s[..., 2]))
+    np.testing.assert_array_equal(np.asarray(planes[..., 1, 3]),
+                                  np.asarray(s[..., 7]))
+    np.testing.assert_array_equal(np.asarray(planes_to_scales(planes)),
+                                  np.asarray(s))
 
 
 def test_quantize_error_bound():
@@ -79,12 +95,15 @@ def test_quantize_error_bound():
 
 
 def _random_pools(rng, n_blocks, bs, hkv, d):
+    """Quantize fp pools into the storage layouts: packed pair-batched
+    (N, P2, bs, D) + nibble-plane scales (N, 2, P2, bs)."""
     kf = rng.normal(size=(n_blocks, bs, hkv, d)).astype(np.float32)
     vf = rng.normal(size=(n_blocks, bs, hkv, d)).astype(np.float32)
-    kp, ks = quantize_kv_int4(jnp.asarray(kf))
+    kp, ks = quantize_kv_int4(jnp.asarray(kf))     # (N,bs,P2,D), (N,bs,Hkv)
     vp, vs = quantize_kv_int4(jnp.asarray(vf))
-    # transposed (N, Hkv, bs) scale layout (the pool storage layout)
-    return kp, vp, jnp.swapaxes(ks, -1, -2), jnp.swapaxes(vs, -1, -2)
+    return (jnp.moveaxis(kp, 1, 2), jnp.moveaxis(vp, 1, 2),
+            jnp.moveaxis(scales_to_planes(ks), 1, 3),
+            jnp.moveaxis(scales_to_planes(vs), 1, 3))
 
 
 def test_kernel_interpret_matches_reference():
@@ -104,28 +123,34 @@ def test_kernel_interpret_matches_reference():
 
 
 def test_reference_twin_equals_dequantized_dense():
-    """Scale-after-dot == dequantize-then-dot, checked end to end."""
+    """Scale-after-dot (and all the pool-layout plumbing) == dequantizing
+    in the NATURAL (pos, head, dim) layout then dense attention."""
     import math
 
     rng = np.random.default_rng(3)
     b, hkv, g, d, bs, wb, nblk = 1, 4, 2, 16, 8, 2, 6
     q = jnp.asarray(rng.normal(size=(b, hkv, g, d)).astype(np.float32))
-    kp, vp, ks, vs = _random_pools(rng, nblk, bs, hkv, d)
+    kf = jnp.asarray(rng.normal(size=(nblk, bs, hkv, d)).astype(np.float32))
+    vf = jnp.asarray(rng.normal(size=(nblk, bs, hkv, d)).astype(np.float32))
+    kp_n, ks_n = quantize_kv_int4(kf)        # natural layouts
+    vp_n, vs_n = quantize_kv_int4(vf)
     table = jnp.asarray(rng.integers(1, nblk, size=(b, wb)).astype(np.int32))
     pos = jnp.asarray(np.array([11], np.int32))
 
-    k = (unpack_kv_int4(kp[table], hkv).astype(jnp.float32)
-         * jnp.swapaxes(ks[table], -1, -2)[..., None]).reshape(
-        b, wb * bs, hkv, d)
-    v = (unpack_kv_int4(vp[table], hkv).astype(jnp.float32)
-         * jnp.swapaxes(vs[table], -1, -2)[..., None]).reshape(
-        b, wb * bs, hkv, d)
+    # dequantize in the natural layout, no pool rearrangement involved
+    k = (unpack_kv_int4(kp_n, hkv).astype(jnp.float32)
+         * ks_n[..., None])[table].reshape(b, wb * bs, hkv, d)
+    v = (unpack_kv_int4(vp_n, hkv).astype(jnp.float32)
+         * vs_n[..., None])[table].reshape(b, wb * bs, hkv, d)
     s = jnp.einsum("bhgd,bkhd->bhgk", q, k) / math.sqrt(d)
     col = jnp.arange(wb * bs)[None, None, None, :]
     s = jnp.where(col <= pos[:, None, None, None], s, -1e30)
     want = jnp.einsum("bhgk,bkhd->bhgd", jax.nn.softmax(s, -1), v)
 
-    got = paged_decode_attention_int4_reference(q, kp, vp, ks, vs, table, pos)
+    got = paged_decode_attention_int4_reference(
+        q, jnp.moveaxis(kp_n, 1, 2), jnp.moveaxis(vp_n, 1, 2),
+        jnp.moveaxis(scales_to_planes(ks_n), 1, 3),
+        jnp.moveaxis(scales_to_planes(vs_n), 1, 3), table, pos)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 

@@ -103,8 +103,8 @@ def test_paged_kernel_matches_reference(g, wb):
     rng = np.random.default_rng(0)
     b, hkv, d, bs = 2, 4, 128, 16
     q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
-    kp = jnp.asarray(rng.normal(size=(10, bs, hkv, d)), jnp.float32)
-    vp = jnp.asarray(rng.normal(size=(10, bs, hkv, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(10, hkv, bs, d)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(10, hkv, bs, d)), jnp.float32)
     # non-contiguous, interleaved block tables
     table = jnp.asarray(
         [[1, 3, 5, 7][:wb], [8, 2, 6, 4][:wb]], jnp.int32
@@ -124,8 +124,8 @@ def test_paged_kernel_masks_past_position():
     rng = np.random.default_rng(1)
     b, hkv, g, d, bs = 1, 2, 3, 128, 16
     q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
-    kp = jnp.asarray(rng.normal(size=(6, bs, hkv, d)), jnp.float32)
-    vp = jnp.asarray(rng.normal(size=(6, bs, hkv, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(6, hkv, bs, d)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(6, hkv, bs, d)), jnp.float32)
     table = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
     pos = jnp.asarray([20], jnp.int32)     # blocks 2.. (pos ≥ 32) unused
     out1 = paged_decode_attention(q, kp, vp, table, pos, interpret=True)
@@ -199,8 +199,8 @@ def test_paged_int8_kernel_matches_reference(g, wb):
     rng = np.random.default_rng(3)
     b, hkv, d, bs = 2, 4, 128, 16
     q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
-    kp = jnp.asarray(rng.integers(-127, 128, size=(10, bs, hkv, d)), jnp.int8)
-    vp = jnp.asarray(rng.integers(-127, 128, size=(10, bs, hkv, d)), jnp.int8)
+    kp = jnp.asarray(rng.integers(-127, 128, size=(10, hkv, bs, d)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, size=(10, hkv, bs, d)), jnp.int8)
     # scale pools use the transposed (N, Hkv, bs) layout
     ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, hkv, bs)), jnp.float32)
     vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(10, hkv, bs)), jnp.float32)
@@ -221,8 +221,8 @@ def test_paged_int8_kernel_masks_past_position():
     rng = np.random.default_rng(4)
     b, hkv, g, d, bs = 1, 2, 3, 128, 16
     q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
-    kp = jnp.asarray(rng.integers(-127, 128, size=(6, bs, hkv, d)), jnp.int8)
-    vp = jnp.asarray(rng.integers(-127, 128, size=(6, bs, hkv, d)), jnp.int8)
+    kp = jnp.asarray(rng.integers(-127, 128, size=(6, hkv, bs, d)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, size=(6, hkv, bs, d)), jnp.int8)
     ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, hkv, bs)), jnp.float32)
     vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(6, hkv, bs)), jnp.float32)
     table = jnp.asarray([[1, 2, 3, 4]], jnp.int32)

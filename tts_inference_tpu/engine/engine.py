@@ -260,8 +260,8 @@ class EngineCore:
                 # cache, so layer>0 K/V reflect the quantized layer-0
                 # attention reads exactly as a plain prefill would — the
                 # bit-exactness property; see _prefix_build_impl)
-                pool_shape = (n_entries, pb, (hkv // 2) * hd)
-                sc_shape = (n_entries, hkv, pb)     # transposed layout
+                pool_shape = (n_entries, hkv // 2, pb, hd)  # pair-batched
+                sc_shape = (n_entries, 2, hkv // 2, pb)     # nibble planes
             else:
                 pool_shape = (n_entries, pb, hkv, hd)
                 sc_shape = pool_shape[:3]
@@ -280,8 +280,9 @@ class EngineCore:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 if int4:
-                    pool_sh = NamedSharding(mesh, P(None, None, "tp"))
-                    pscale_sh = NamedSharding(mesh, P(None, "tp", None))
+                    pool_sh = NamedSharding(mesh, P(None, "tp", None, None))
+                    pscale_sh = NamedSharding(
+                        mesh, P(None, None, "tp", None))
                 else:
                     pool_sh = NamedSharding(mesh, P(None, None, "tp", None))
                     pscale_sh = NamedSharding(mesh, P(None, None, "tp"))
@@ -430,7 +431,10 @@ class EngineCore:
         only inside the never-attended trash block."""
         pool_k, pool_v, pool_ks, pool_vs = pools
         bs_blk = cache.block_size
-        pb = pool_k[0].shape[1]
+        int4 = bool(cache.k_scale) and cache.k_scale[0].ndim == 4
+        # prefix entries: pair-batched (E, P2, PB, D) in int4 mode, dense
+        # (E, PB, Hkv, D) otherwise
+        pb = pool_k[0].shape[2] if int4 else pool_k[0].shape[1]
         b = cache.block_table.shape[0]
         pos = jnp.arange(pb, dtype=jnp.int32)
         rows = jnp.take_along_axis(
@@ -440,16 +444,19 @@ class EngineCore:
         rows = jnp.where(inject_mask[:, None], rows, 0)    # (B, PB)
         offs = jnp.broadcast_to(pos[None, :] % bs_blk, (b, pb))
 
-        if cache.k[0].ndim == 3:
+        if int4:
             # int4 packed pools: prefix entries are stored PACKED (built by
             # an int4-cache prefill — see _prefix_build_impl), so injection
-            # is a straight byte copy; scale pools are transposed
+            # is a straight byte copy. Entry layouts are pair-batched
+            # (E, P2, PB, D) / nibble-plane (E, 2, P2, PB); the scatters
+            # want positions as the second advanced dim.
             def inj4(c, pool):
-                return c.at[rows, offs].set(pool[pidx], mode="drop")
+                sel = jnp.moveaxis(pool[pidx], 1, 2)   # (B, PB, P2, D)
+                return c.at[rows, :, offs].set(sel, mode="drop")
 
             def inj4s(c, pool):
-                sel = jnp.swapaxes(pool[pidx], -1, -2)     # (B, PB, Hkv)
-                return c.at[rows, :, offs].set(sel, mode="drop")
+                sel = jnp.moveaxis(pool[pidx], 3, 1)   # (B, PB, 2, P2)
+                return c.at[rows, :, :, offs].set(sel, mode="drop")
 
             k = tuple(inj4(c, p) for c, p in zip(cache.k, pool_k))
             v = tuple(inj4(c, p) for c, p in zip(cache.v, pool_v))
@@ -458,11 +465,14 @@ class EngineCore:
             return cache._replace(k=k, v=v, k_scale=ks, v_scale=vs)
 
         def inj(c, pool):
+            # K/V pools are head-batched (N, Hkv, bs, D); the prefix pool
+            # keeps the dense (E, PB, Hkv, D) layout, so the (B, PB, Hkv,
+            # D) selection scatters to dims (0, 2) with heads riding along
             sel = pool[pidx]                               # (B, PB, …)
-            return c.at[rows, offs].set(sel.astype(c.dtype), mode="drop")
+            return c.at[rows, :, offs].set(sel.astype(c.dtype), mode="drop")
 
         def inj_sc(c, pool):
-            # int8 scale pools in the paged cache are transposed
+            # int8 scale pools in the paged cache are positions-minor
             # (N, Hkv, bs); the prefix pool keeps the dense (E, PB, Hkv)
             # layout, so the (B, PB, Hkv) selection scatters to dims (0, 2)
             sel = pool[pidx]

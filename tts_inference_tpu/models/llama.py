@@ -164,10 +164,13 @@ class PagedKVCache(NamedTuple):
     """Paged/blocked KV cache (the TPU analog of TRT-LLM's paged KV,
     `tensorrt_tts/PIPELINE_REPORT.md:58-64` — 32-tok/block there).
 
-    k/v: per-layer tuples of (num_blocks, block_size, Hkv, D) POOL arrays
-    shared by all slots; block_table: (B, max_blocks_per_slot) int32 maps a
-    slot's logical block index to a pool row. Block 0 is the TRASH block —
-    never allocated, the write target for masked slots and out-of-range
+    k/v: per-layer tuples of HEAD-BATCHED (num_blocks, Hkv, block_size, D)
+    POOL arrays shared by all slots (heads on axis 1 so the Pallas kernels
+    issue ONE batched dot per block instead of a launch per head — the
+    launch-per-head layout measured ~2.5× slower, tools/kv_kernel_bench);
+    block_table: (B, max_blocks_per_slot) int32 maps a slot's logical
+    block index to a pool row. Block 0 is the TRASH block — never
+    allocated, the write target for masked slots and out-of-range
     positions (unallocated table entries are 0, so overruns land there
     harmlessly and are never attended: reads are masked by position).
 
@@ -175,16 +178,18 @@ class PagedKVCache(NamedTuple):
     dense cache's 32-slot × 4.6k-seq wall becomes a per-request budget
     (prompt + max_tokens), so 64+ heterogeneous slots fit one chip.
 
-    int8 mode mirrors KVCache: int8 pools + per-(block, position, head)
-    fp32 scale pools.
+    int8 mode: int8 pools + per-(block, head, position) fp32 scale pools,
+    (num_blocks, Hkv, block_size) — positions minor (a heads-minor layout
+    tile-pads 8→128 lanes in HBM; the padded scale DMA measured costlier
+    than the saved KV bytes).
 
     int4 mode (kv_cache_int4) packs two int4 values per byte with the
     head-pair split layout of ops/pallas/paged_attention_int4.py: pools
-    become (num_blocks, block_size, (Hkv/2)·D) int8 (recognizable by
-    ndim == 3) and scale pools are TRANSPOSED, (num_blocks, Hkv,
-    block_size), so their HBM layout stays lane-aligned. Halves the
-    int8 pools' bytes again — both capacity and attention-read bandwidth
-    (the long-audio and 64-slot regimes are KV-read-bound, PERF.md).
+    become (num_blocks, Hkv/2, block_size, D) int8 (pair slab p = heads
+    2p low nibble / 2p+1 high nibble — recognizable by shape[1] != Hkv)
+    and scale pools are (num_blocks, 2, Hkv/2, block_size) nibble planes.
+    Halves the int8 pools' bytes again — both capacity and attention-read
+    bandwidth (the long-audio and 64-slot regimes are KV-read-bound).
     """
 
     k: tuple
@@ -196,7 +201,7 @@ class PagedKVCache(NamedTuple):
 
     @property
     def block_size(self) -> int:
-        return self.k[0].shape[1]
+        return self.k[0].shape[2]   # pools are (N, heads-axis, bs, D)
 
     @property
     def num_blocks(self) -> int:
@@ -225,17 +230,18 @@ def init_paged_kv_cache(
     if int8 and int4:
         raise ValueError("kv int8 and int4 are mutually exclusive")
     max_blocks = max_seq // block_size
-    shape = (num_blocks, block_size, cfg.num_key_value_heads, cfg.head_dim)
     n = cfg.num_hidden_layers
     table = jnp.zeros((batch, max_blocks), jnp.int32)
     lengths = jnp.zeros((batch,), jnp.int32)
+    hkv = cfg.num_key_value_heads
+    # head-batched pool layout (N, heads-axis, bs, D) — see PagedKVCache
+    shape = (num_blocks, hkv, block_size, cfg.head_dim)
     if int4:
-        hkv = cfg.num_key_value_heads
         if hkv % 2:
             raise ValueError(f"int4 KV needs an even kv-head count, "
                              f"got {hkv} (head-pair packing)")
-        pshape = (num_blocks, block_size, (hkv // 2) * cfg.head_dim)
-        sshape = (num_blocks, hkv, block_size)   # transposed (lane-aligned)
+        pshape = (num_blocks, hkv // 2, block_size, cfg.head_dim)
+        sshape = (num_blocks, 2, hkv // 2, block_size)   # nibble planes
         return PagedKVCache(
             k=tuple(jnp.zeros(pshape, jnp.int8) for _ in range(n)),
             v=tuple(jnp.zeros(pshape, jnp.int8) for _ in range(n)),
@@ -244,11 +250,11 @@ def init_paged_kv_cache(
             v_scale=tuple(jnp.zeros(sshape, jnp.float32) for _ in range(n)),
         )
     if int8:
-        # scales TRANSPOSED (N, Hkv, bs): heads-minor would tile-pad 8→128
-        # lanes in HBM and the padded scale DMA cost more than the saved KV
-        # bytes (kv_kernel_bench measured the heads-minor int8 kernel SLOWER
-        # than bf16 pools at B=64)
-        sshape = (num_blocks, cfg.num_key_value_heads, block_size)
+        # positions-minor scales: heads-minor would tile-pad 8→128 lanes in
+        # HBM and the padded scale DMA cost more than the saved KV bytes
+        # (kv_kernel_bench measured the heads-minor int8 kernel SLOWER than
+        # bf16 pools at B=64)
+        sshape = (num_blocks, hkv, block_size)
         return PagedKVCache(
             k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
             v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(n)),
@@ -359,22 +365,25 @@ def _layer(
         # are 0) land in the trash block — pool row 0, never allocated and
         # never attended (reads are masked by position). Duplicate trash
         # indices leave unspecified values only inside the trash block.
-        blk_sz = cache_k.shape[1]
+        blk_sz = cache_k.shape[2]   # head-batched pools (N, H', bs, …)
         pos = write_pos[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
         rows = jnp.take_along_axis(table, pos // blk_sz, axis=1)
         rows = jnp.where(write_mask[:, None], rows, 0)
         offs = pos % blk_sz
 
         def write(c, new):
-            return c.at[rows, offs].set(
+            # head-batched pools (N, H', bs[, D]): advanced indices
+            # (rows, offs) select dims 0 and 2; the head axis (and D)
+            # ride along — value (B, S, H'[, D]). Serves K/V pools AND
+            # the int8 (N, Hkv, bs) scale pools.
+            return c.at[rows, :, offs].set(
                 new.astype(c.dtype), mode="drop", unique_indices=True,
             )
 
-        def write_sc_t(c, new):
-            # int4 mode's TRANSPOSED (N, Hkv, bs) scale pools: advanced
-            # indices (rows, offs) select dims 0 and 2; the head axis rides
-            # along (value shape (B, S, Hkv))
-            return c.at[rows, :, offs].set(
+        def write_sc4(c, new):
+            # int4 nibble-plane scale pools (N, 2, P2, bs): advanced
+            # indices select dims 0 and 3 — value (B, S, 2, P2)
+            return c.at[rows, :, :, offs].set(
                 new.astype(c.dtype), mode="drop", unique_indices=True,
             )
     elif s == 1:
@@ -401,36 +410,32 @@ def _layer(
                 return jnp.where(wm, upd, cb)
             return jax.vmap(one)(c, new, write_pos, write_mask)
 
-    packed_i4 = table is not None and cache_k.ndim == 3
+    packed_i4 = table is not None and cache_k.shape[1] != nkv
     if packed_i4:
         from tts_inference_tpu.ops.pallas.paged_attention_int4 import (
-            quantize_kv_int4,
+            quantize_kv_int4, scales_to_planes,
         )
 
-        kq, k_sc = quantize_kv_int4(k)
+        kq, k_sc = quantize_kv_int4(k)     # (B,S,P2,D), (B,S,Hkv)
         vq, v_sc = quantize_kv_int4(v)
         cache_k = write(cache_k, kq)
         cache_v = write(cache_v, vq)
-        ks = write_sc_t(ks, k_sc)
-        vs = write_sc_t(vs, v_sc)
+        ks = write_sc4(ks, scales_to_planes(k_sc))
+        vs = write_sc4(vs, scales_to_planes(v_sc))
     elif ks is not None:
         kq, k_sc = _quantize_kv(k)
         vq, v_sc = _quantize_kv(v)
         cache_k = write(cache_k, kq)
         cache_v = write(cache_v, vq)
-        if table is not None:   # paged int8: transposed scale pools
-            ks = write_sc_t(ks, k_sc)
-            vs = write_sc_t(vs, v_sc)
-        else:
-            ks = write(ks, k_sc)
-            vs = write(vs, v_sc)
+        ks = write(ks, k_sc)
+        vs = write(vs, v_sc)
     else:
         cache_k = write(cache_k, k.astype(cache_k.dtype))
         cache_v = write(cache_v, v.astype(cache_v.dtype))
 
     attn = None
     if table is not None:
-        blk_sz = cache_k.shape[1]
+        blk_sz = cache_k.shape[2]
         cap = table.shape[1] * blk_sz
         w = cap if (kv_window is None or kv_window >= cap) else kv_window
         assert w % blk_sz == 0, (w, blk_sz)  # forward() block-aligns it
@@ -470,16 +475,18 @@ def _layer(
                 ).reshape(b, 1, nq, hd)
         elif packed_i4:
             # XLA int4 view (CPU tests, prefill): gather packed blocks,
-            # unpack the nibbles, dequantize with the transposed scales
+            # unpack the nibbles, dequantize with the nibble-plane scales
             from tts_inference_tpu.ops.pallas.paged_attention_int4 import (
-                unpack_kv_int4,
+                planes_to_scales, unpack_kv_int4,
             )
 
             dt = k.dtype
-            k_int = unpack_kv_int4(cache_k[idx], nkv)  # (B, WB, bs, Hkv, D)
-            v_int = unpack_kv_int4(cache_v[idx], nkv)
-            sck = jnp.swapaxes(ks[idx], -1, -2)        # (B, WB, bs, Hkv)
-            scv = jnp.swapaxes(vs[idx], -1, -2)
+            # (B, WB, P2, bs, D) → (B, WB, bs, P2, D) → ints (…, Hkv, D)
+            k_int = unpack_kv_int4(jnp.moveaxis(cache_k[idx], 2, 3), nkv)
+            v_int = unpack_kv_int4(jnp.moveaxis(cache_v[idx], 2, 3), nkv)
+            # (B, WB, 2, P2, bs) → (B, WB, bs, 2, P2) → (B, WB, bs, Hkv)
+            sck = planes_to_scales(jnp.moveaxis(ks[idx], 4, 2))
+            scv = planes_to_scales(jnp.moveaxis(vs[idx], 4, 2))
             ck = (k_int.astype(jnp.float32) * sck[..., None]).reshape(
                 b, w, nkv, hd).astype(dt)
             cv = (v_int.astype(jnp.float32) * scv[..., None]).reshape(
@@ -488,11 +495,11 @@ def _layer(
             # XLA paged view: gather the window's blocks from the pool into
             # a dense (B, window, Hkv, D) temp — correct everywhere (CPU
             # tests, int8 pools); pays the window bytes twice vs the kernel
-            ck = cache_k[idx].reshape(b, w, nkv, hd)
-            cv = cache_v[idx].reshape(b, w, nkv, hd)
+            ck = jnp.moveaxis(cache_k[idx], 2, 3).reshape(b, w, nkv, hd)
+            cv = jnp.moveaxis(cache_v[idx], 2, 3).reshape(b, w, nkv, hd)
             if ks is not None:
                 dt = k.dtype
-                # paged int8 scale pools are transposed (N, Hkv, bs)
+                # paged int8 scale pools are positions-minor (N, Hkv, bs)
                 sck = jnp.swapaxes(ks[idx], -1, -2).reshape(b, w, nkv)
                 scv = jnp.swapaxes(vs[idx], -1, -2).reshape(b, w, nkv)
                 ck = (ck.astype(jnp.float32) * sck[..., None]).astype(dt)

@@ -9,17 +9,34 @@ instead streams each pool block through VMEM exactly once: the grid is
 (slot, window-block) and the K/V BlockSpec index_map reads the block table
 (a scalar-prefetch operand) to DMA pool row `table[i, j]` directly.
 
+Layout lessons, both measured with tools/kv_kernel_bench.py (B=64 W=512 /
+B=4 W=12288 serving shapes):
+
+1. **Head-batched pools** (N, Hkv, bs, D) — heads on axis 1, positions on
+   axis 2. The original position-major layout forced one dot_general
+   launch per kv head per block; all dtypes clustered at ~1.4 µs per grid
+   step (launch-bound, 366–537 µs/layer-step). Batching the head axis
+   into ONE dot per block halves that twice over: int8 473 → 187 µs at
+   B=64 and 685 → 266 µs at the long-audio shape.
+2. **Transposed scale pools** (N, Hkv, bs) — heads-minor (bs, Hkv) f32
+   scales tile-pad 8→128 lanes in HBM; the padded scale DMA made int8
+   SLOWER than bf16 pools. Scales apply AFTER the integer dots (score
+   columns / probability rows — equal to dequantizing first, by
+   linearity), so K/V bytes feed the MXU straight from the DMA.
+
 Shapes (N = pool blocks, bs = block size, Hkv = kv heads, G = query heads
 per kv head, D = head dim, WB = window blocks):
     q:     (B, Hkv, G, D)
-    k,v:   (N, bs, Hkv, D) — the pool
+    k,v:   (N, Hkv, bs, D) — the pool (head-batched layout)
+    ks,vs: (N, Hkv, bs) f32 — int8 mode's per-(block, head, position)
+           scales (transposed layout)
     table: (B, WB) int32   — pool row of each slot's logical block
     pos:   (B,) int32      — kv index j attends iff j <= pos[slot]
     out:   (B, Hkv, G, D)
 
 Online softmax across the WB grid steps (running max / denominator / accum
 in VMEM scratch, sequential grid on TPU) — identical math to flash
-attention's streaming pass.
+attention's streaming pass, vectorized over the head axis.
 """
 
 from __future__ import annotations
@@ -37,12 +54,13 @@ SUBLANE = 8  # fp32 sublane tile
 
 def _kernel(table_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
             m_scr, l_scr, acc_scr):
-    # q_ref/o_ref: (1, Hkv, Gp, D); k/v_ref: (1, bs, Hkv, D) = pool block
+    # q_ref/o_ref: (1, Hkv, Gp, D); k/v_ref: (1, Hkv, bs, D) = pool block
     # table[i, j]; scratch: m/l (Hkv, Gp, 128), acc (Hkv, Gp, D)
     i = pl.program_id(0)
     j = pl.program_id(1)
-    hkv, gp, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    bs = k_ref.shape[1]
+    gp = q_ref.shape[2]
+    bs = k_ref.shape[2]
+    d = q_ref.shape[3]
     scale = 1.0 / math.sqrt(d)
 
     @pl.when(j == 0)
@@ -51,48 +69,51 @@ def _kernel(table_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (gp, bs), 1)
+    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, bs), 2)
     valid = col <= pos_ref[i]
 
     @pl.when(j * bs <= pos_ref[i])   # skip fully-masked tail blocks
     def _block():
-        for h in range(hkv):  # static unroll over kv heads
-            q = q_ref[0, h].astype(jnp.float32)          # (Gp, D)
-            k = k_ref[0, :, h].astype(jnp.float32)       # (bs, D)
-            v = v_ref[0, :, h].astype(jnp.float32)       # (bs, D)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale                                    # (Gp, bs)
-            s = jnp.where(valid, s, -1e30)
-            m_prev = m_scr[h, :, :1]                     # (Gp, 1)
-            l_prev = l_scr[h, :, :1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)              # rescale old accum
-            p = jnp.exp(s - m_new)                       # (Gp, bs)
-            l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                            # (Gp, D)
-            acc_scr[h] = acc_scr[h] * alpha + pv
-            m_scr[h, :, :1] = m_new
-            l_scr[h, :, :1] = l_new
+        q = q_ref[0].astype(jnp.float32)                  # (Hkv, Gp, D)
+        k = k_ref[0].astype(jnp.float32)                  # (Hkv, bs, D)
+        v = v_ref[0].astype(jnp.float32)
+        # ONE batched dot over the head axis (vs one launch per head —
+        # the launch-bound regime this layout exists to kill)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                         # (Hkv, Gp, bs)
+        s = jnp.where(valid, s, -1e30)
+        m_prev = m_scr[:, :, :1]                          # (Hkv, Gp, 1)
+        l_prev = l_scr[:, :, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)                   # rescale old accum
+        p = jnp.exp(s - m_new)                            # (Hkv, Gp, bs)
+        l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                 # (Hkv, Gp, D)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[:, :, :1] = m_new
+        l_scr[:, :, :1] = l_new
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
-        for h in range(hkv):
-            denom = jnp.maximum(l_scr[h, :, :1], 1e-30)
-            o_ref[0, h] = (acc_scr[h] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(l_scr[:, :, :1], 1e-30)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_paged_attention(q, k_pool, v_pool, table, pos, *,
                             interpret=False):
     b, hkv, gp, d = q.shape
-    bs = k_pool.shape[1]
+    bs = k_pool.shape[2]
     wb = table.shape[1]
+    kv_spec = pl.BlockSpec((1, hkv, bs, d),
+                           lambda i, j, table, pos: (table[i, j], 0, 0, 0),
+                           memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # table, pos
         grid=(b, wb),
@@ -100,12 +121,7 @@ def _pallas_paged_attention(q, k_pool, v_pool, table, pos, *,
             pl.BlockSpec((1, hkv, gp, d),
                          lambda i, j, table, pos: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, hkv, d),
-                         lambda i, j, table, pos: (table[i, j], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs, hkv, d),
-                         lambda i, j, table, pos: (table[i, j], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            kv_spec, kv_spec,
         ],
         out_specs=pl.BlockSpec((1, hkv, gp, d),
                                lambda i, j, table, pos: (i, 0, 0, 0),
@@ -135,8 +151,8 @@ def _pallas_paged_attention(q, k_pool, v_pool, table, pos, *,
 
 def paged_decode_attention(
     q: jnp.ndarray,        # (B, Hkv, G, D)
-    k_pool: jnp.ndarray,   # (N, bs, Hkv, D)
-    v_pool: jnp.ndarray,   # (N, bs, Hkv, D)
+    k_pool: jnp.ndarray,   # (N, Hkv, bs, D) — head-batched pool layout
+    v_pool: jnp.ndarray,   # (N, Hkv, bs, D)
     table: jnp.ndarray,    # (B, WB) int32 — window's block rows per slot
     pos: jnp.ndarray,      # (B,) int32
     *,
@@ -153,23 +169,16 @@ def paged_decode_attention(
 
 def _kernel_int8(table_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                  o_ref, m_scr, l_scr, acc_scr):
-    """int8-pool twin of _kernel: K/V blocks are int8 with per-(position,
-    head) fp32 scales; the HBM read is HALF the fp16 kernel's bytes (the
-    decode step is bandwidth-bound, so int8 pools are faster, not just
-    smaller).
-
-    Scales are stored TRANSPOSED, (1, Hkv, bs) per block — heads-minor
-    (bs, Hkv) would tile-pad 8→128 lanes in HBM, and the padded scale DMA
-    measurably exceeded the saved KV bytes (kv_kernel_bench: the original
-    heads-minor int8 kernel ran SLOWER than bf16 at B=64, 473 vs 375 µs).
-    They are applied AFTER the integer dots — to score columns (K) and
-    probability rows (V), equal to dequantizing first by linearity — so
-    K/V bytes feed the MXU straight from the DMA with one i8→f32 convert
-    and no per-element scale multiply."""
+    """int8-pool twin of _kernel: K/V blocks are int8 with per-(block,
+    head, position) fp32 scales; the HBM read is HALF the fp16 kernel's
+    bytes. Scales apply after the integer dots (score columns / probability
+    rows), so the int8 bytes feed the MXU with one i8→f32 convert and no
+    per-element scale multiply."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    hkv, gp, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    bs = k_ref.shape[1]
+    gp = q_ref.shape[2]
+    bs = k_ref.shape[2]
+    d = q_ref.shape[3]
     scale = 1.0 / math.sqrt(d)
 
     @pl.when(j == 0)
@@ -178,53 +187,49 @@ def _kernel_int8(table_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (gp, bs), 1)
+    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, bs), 2)
     valid = col <= pos_ref[i]
 
     @pl.when(j * bs <= pos_ref[i])   # skip fully-masked tail blocks
     def _block():
-        kf = k_ref[0].astype(jnp.float32)                # (bs, Hkv, D)
-        vf = v_ref[0].astype(jnp.float32)
-        for h in range(hkv):  # static unroll over kv heads
-            q = q_ref[0, h].astype(jnp.float32)          # (Gp, D)
-            k = kf[:, h]                                 # (bs, D) int vals
-            v = vf[:, h]
-            ksc = ks_ref[0, h:h + 1, :]                  # (1, bs)
-            vsc = vs_ref[0, h:h + 1, :]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (ksc * scale)                            # (Gp, bs)
-            s = jnp.where(valid, s, -1e30)
-            m_prev = m_scr[h, :, :1]                     # (Gp, 1)
-            l_prev = l_scr[h, :, :1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)              # rescale old accum
-            p = jnp.exp(s - m_new)                       # (Gp, bs)
-            l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p * vsc, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                            # (Gp, D)
-            acc_scr[h] = acc_scr[h] * alpha + pv
-            m_scr[h, :, :1] = m_new
-            l_scr[h, :, :1] = l_new
+        q = q_ref[0].astype(jnp.float32)                  # (Hkv, Gp, D)
+        k = k_ref[0].astype(jnp.float32)                  # (Hkv, bs, D)
+        v = v_ref[0].astype(jnp.float32)
+        ksc = ks_ref[0][:, None, :]                       # (Hkv, 1, bs)
+        vsc = vs_ref[0][:, None, :]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (ksc * scale)                                 # (Hkv, Gp, bs)
+        s = jnp.where(valid, s, -1e30)
+        m_prev = m_scr[:, :, :1]
+        l_prev = l_scr[:, :, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                            # (Hkv, Gp, bs)
+        l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p * vsc, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                 # (Hkv, Gp, D)
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[:, :, :1] = m_new
+        l_scr[:, :, :1] = l_new
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
-        for h in range(hkv):
-            denom = jnp.maximum(l_scr[h, :, :1], 1e-30)
-            o_ref[0, h] = (acc_scr[h] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(l_scr[:, :, :1], 1e-30)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_paged_attention_int8(q, k_pool, v_pool, ks_pool, vs_pool,
                                  table, pos, *, interpret=False):
     b, hkv, gp, d = q.shape
-    bs = k_pool.shape[1]
+    bs = k_pool.shape[2]
     wb = table.shape[1]
-    kv_spec = pl.BlockSpec((1, bs, hkv, d),
+    kv_spec = pl.BlockSpec((1, hkv, bs, d),
                            lambda i, j, table, pos: (table[i, j], 0, 0, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((1, hkv, bs),
@@ -268,9 +273,9 @@ def _pallas_paged_attention_int8(q, k_pool, v_pool, ks_pool, vs_pool,
 
 def paged_decode_attention_int8(
     q: jnp.ndarray,         # (B, Hkv, G, D)
-    k_pool: jnp.ndarray,    # (N, bs, Hkv, D) int8
-    v_pool: jnp.ndarray,    # (N, bs, Hkv, D) int8
-    ks_pool: jnp.ndarray,   # (N, Hkv, bs) fp32 scales (TRANSPOSED layout)
+    k_pool: jnp.ndarray,    # (N, Hkv, bs, D) int8 — head-batched layout
+    v_pool: jnp.ndarray,    # (N, Hkv, bs, D) int8
+    ks_pool: jnp.ndarray,   # (N, Hkv, bs) fp32 scales (transposed layout)
     vs_pool: jnp.ndarray,   # (N, Hkv, bs) fp32 scales
     table: jnp.ndarray,     # (B, WB) int32 — window's block rows per slot
     pos: jnp.ndarray,       # (B,) int32
@@ -293,16 +298,17 @@ def paged_decode_attention_int8_reference(q, k_pool, v_pool, ks_pool,
                                           vs_pool, table, pos):
     """jnp twin: gather + dequantize the window, then dense attention.
 
-    Scale pools use the kernel's transposed (N, Hkv, bs) layout."""
+    Pools use the kernel's head-batched (N, Hkv, bs, D) layout; scales the
+    transposed (N, Hkv, bs) layout."""
     b, hkv, g, d = q.shape
-    bs = k_pool.shape[1]
+    bs = k_pool.shape[2]
     wb = table.shape[1]
-    ksc = jnp.swapaxes(ks_pool[table], -1, -2)       # (B, WB, bs, Hkv)
-    vsc = jnp.swapaxes(vs_pool[table], -1, -2)
     k = (k_pool[table].astype(jnp.float32)
-         * ksc[..., None]).reshape(b, wb * bs, hkv, d)
+         * ks_pool[table][..., None])                # (B, WB, Hkv, bs, D)
     v = (v_pool[table].astype(jnp.float32)
-         * vsc[..., None]).reshape(b, wb * bs, hkv, d)
+         * vs_pool[table][..., None])
+    k = jnp.moveaxis(k, 2, 3).reshape(b, wb * bs, hkv, d)
+    v = jnp.moveaxis(v, 2, 3).reshape(b, wb * bs, hkv, d)
     scale = 1.0 / math.sqrt(d)
     s = jnp.einsum("bhgd,bkhd->bhgk", q.astype(jnp.float32), k) * scale
     col = jnp.arange(wb * bs)[None, None, None, :]
@@ -313,12 +319,13 @@ def paged_decode_attention_int8_reference(q, k_pool, v_pool, ks_pool,
 
 
 def paged_decode_attention_reference(q, k_pool, v_pool, table, pos):
-    """jnp twin: gather the window then dense masked attention."""
+    """jnp twin: gather the window then dense masked attention
+    (head-batched (N, Hkv, bs, D) pool layout)."""
     b, hkv, g, d = q.shape
-    bs = k_pool.shape[1]
+    bs = k_pool.shape[2]
     wb = table.shape[1]
-    k = k_pool[table].reshape(b, wb * bs, hkv, d)
-    v = v_pool[table].reshape(b, wb * bs, hkv, d)
+    k = jnp.moveaxis(k_pool[table], 2, 3).reshape(b, wb * bs, hkv, d)
+    v = jnp.moveaxis(v_pool[table], 2, 3).reshape(b, wb * bs, hkv, d)
     scale = 1.0 / math.sqrt(d)
     s = jnp.einsum("bhgd,bkhd->bhgk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * scale

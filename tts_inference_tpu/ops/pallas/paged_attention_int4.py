@@ -25,29 +25,31 @@ applied AFTER the integer dots — to score columns (K side) and probability
 rows (V side) — which is exactly equal to dequantizing K/V first, by
 linearity.
 
-Packing layout — *head-pair split*: kv heads (2p, 2p+1) share the packed
-byte columns [p·D, (p+1)·D): head 2p in the low nibble, head 2p+1 in the
-high nibble. This keeps each head's 128 dims lane-aligned (static slices
-at multiples of D=128), keeps the pool's minor dim at (Hkv/2)·D (no HBM
-tile padding), and keeps TP shards contiguous in kv heads (shard = a range
-of pairs = a range of heads, matching the query-head sharding) — int4 KV
-under TP requires Hkv/tp even so pairs never split.
+Packing layout — *head-pair split, head-batched*: kv heads (2p, 2p+1)
+share packed pool slab p: head 2p in the low nibble, head 2p+1 in the
+high nibble. Pools are (N, Hkv/2, bs, D) — pair-batched on axis 1 like
+paged_attention.py's head-batched fp/int8 pools (one batched dot per
+block instead of a launch per head; the launch-per-head layout measured
+~1.4 µs/grid-step launch-bound, tools/kv_kernel_bench.py). TP shards the
+pair axis = contiguous kv-head ranges, matching the query-head sharding —
+int4 KV under TP requires tp | Hkv/2 so pairs never split.
 
-Scale pools are stored TRANSPOSED, (N, Hkv, bs) — with heads minor they
-would tile-pad 8→128 lanes in HBM and the padded scale read would cost a
-third of the saved KV bytes.
+Scale pools are (N, 2, Hkv/2, bs): nibble plane 0 = low heads (2p),
+plane 1 = high heads (2p+1), positions minor (lane-aligned — a heads-minor
+layout tile-pads 8→128 lanes in HBM and the padded DMA costs more than
+the saved KV bytes).
 
-Shapes (N = pool blocks, bs = block size, Hkv = kv heads, G = query heads
-per kv head, D = head dim, C = (Hkv/2)·D, WB = window blocks):
+Shapes (N = pool blocks, bs = block size, Hkv = kv heads, P2 = Hkv/2,
+G = query heads per kv head, D = head dim, WB = window blocks):
     q:       (B, Hkv, G, D)
-    kp, vp:  (N, bs, C) int8  — packed pools
-    ks, vs:  (N, Hkv, bs) f32 — per-(block, position, head) scales
-    table:   (B, WB) int32    — pool row of each slot's logical block
-    pos:     (B,) int32       — kv index j attends iff j <= pos[slot]
+    kp, vp:  (N, P2, bs, D) int8 — packed pools
+    ks, vs:  (N, 2, P2, bs) f32  — per-(block, nibble, pair, position)
+    table:   (B, WB) int32       — pool row of each slot's logical block
+    pos:     (B,) int32          — kv index j attends iff j <= pos[slot]
     out:     (B, Hkv, G, D)
 
 Grid (slot, window-block) with online softmax across the window blocks —
-same streaming-flash structure as paged_attention.py's int8 kernel.
+same streaming-flash structure as paged_attention.py.
 """
 
 from __future__ import annotations
@@ -69,33 +71,35 @@ SUBLANE = 8  # fp32 sublane tile
 
 
 def pack_kv_int4(q4: jnp.ndarray) -> jnp.ndarray:
-    """(..., Hkv, D) ints in [-7, 7] → (..., (Hkv/2)·D) int8, head-pair split.
+    """(..., Hkv, D) ints in [-7, 7] → (..., Hkv/2, D) int8, head-pair split.
 
-    Byte column p·D + d holds head 2p dim d (low nibble, offset bits q+8)
-    and head 2p+1 dim d (high nibble, two's complement).
+    Pair slab p holds head 2p (low nibble, offset bits q+8) and head 2p+1
+    (high nibble, two's complement).
     """
-    hkv, d = q4.shape[-2], q4.shape[-1]
+    hkv = q4.shape[-2]
     assert hkv % 2 == 0, hkv
-    pairs = q4.reshape(*q4.shape[:-2], hkv // 2, 2, d)
+    pairs = q4.reshape(*q4.shape[:-2], hkv // 2, 2, q4.shape[-1])
     lo = (pairs[..., 0, :].astype(jnp.int32) + 8) & 0x0F
     hi = pairs[..., 1, :].astype(jnp.int32) & 0x0F
     packed = (hi << 4) | lo
     packed = jnp.where(packed >= 128, packed - 256, packed)
-    return packed.astype(jnp.int8).reshape(*q4.shape[:-2], (hkv // 2) * d)
+    return packed.astype(jnp.int8)
 
 
 def unpack_kv_int4(packed: jnp.ndarray, hkv: int) -> jnp.ndarray:
-    """(..., (Hkv/2)·D) int8 → (..., Hkv, D) int32 (inverse of pack_kv_int4)."""
-    d = packed.shape[-1] * 2 // hkv
-    p = packed.astype(jnp.int32).reshape(*packed.shape[:-1], hkv // 2, d)
+    """(..., Hkv/2, D) int8 → (..., Hkv, D) int32 (inverse of pack_kv_int4)."""
+    del hkv  # recoverable from the shape; kept for call-site clarity
+    p = packed.astype(jnp.int32)
     hi = p >> 4                          # arithmetic: signed high nibble
     lo = (p - (hi << 4)) - 8             # offset-decode
     both = jnp.stack([lo, hi], axis=-2)  # (..., Hkv/2, 2, D)
-    return both.reshape(*packed.shape[:-1], hkv, d)
+    return both.reshape(*packed.shape[:-2], packed.shape[-2] * 2,
+                        packed.shape[-1])
 
 
 def quantize_kv_int4(x: jnp.ndarray):
-    """(..., Hkv, D) fp → packed (..., (Hkv/2)·D) int8 + (..., Hkv) f32 scales.
+    """(..., Hkv, D) fp → packed (..., Hkv/2, D) int8 + (..., Hkv) f32
+    scales (natural head order).
 
     Symmetric per-(position, head) absmax/7 — the int4 twin of
     llama._quantize_kv.
@@ -107,6 +111,20 @@ def quantize_kv_int4(x: jnp.ndarray):
     return pack_kv_int4(q), scale
 
 
+def scales_to_planes(scale: jnp.ndarray) -> jnp.ndarray:
+    """(..., Hkv) natural head order → (..., 2, Hkv/2) nibble planes
+    (plane 0 = low heads 2p, plane 1 = high heads 2p+1)."""
+    hkv = scale.shape[-1]
+    return jnp.swapaxes(
+        scale.reshape(*scale.shape[:-1], hkv // 2, 2), -1, -2)
+
+
+def planes_to_scales(planes: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of scales_to_planes: (..., 2, Hkv/2) → (..., Hkv)."""
+    p2 = planes.shape[-1]
+    return jnp.swapaxes(planes, -1, -2).reshape(*planes.shape[:-2], 2 * p2)
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
@@ -114,16 +132,17 @@ def quantize_kv_int4(x: jnp.ndarray):
 
 def _kernel(table_ref, pos_ref, q_ref, kp_ref, vp_ref, ks_ref, vs_ref,
             o_ref, m_scr, l_scr, acc_scr):
-    # q_ref/o_ref: (1, Hkv, Gp, D); kp/vp_ref: (1, bs, C) int8 pool block
-    # table[i, j]; ks/vs_ref: (1, Hkv, bs) f32; scratch m/l (Hkv, Gp, 128),
-    # acc (Hkv, Gp, D)
+    # q_ref/o_ref: (1, 2, P2, Gp, D) — nibble plane major (caller arranges);
+    # kp/vp_ref: (1, P2, bs, D) int8 pool block table[i, j];
+    # ks/vs_ref: (1, 2, P2, bs) f32; scratch m/l (2, P2, Gp, 128),
+    # acc (2, P2, Gp, D)
     i = pl.program_id(0)
     j = pl.program_id(1)
-    hkv, gp, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    bs = kp_ref.shape[1]
+    gp, d = q_ref.shape[3], q_ref.shape[4]
+    bs = kp_ref.shape[2]
     scale = 1.0 / math.sqrt(d)
-    dims_t = (((1,), (1,)), ((), ()))    # contract last dims (dot · rowsᵀ)
-    dims = (((1,), (0,)), ((), ()))
+    dims_t = (((2,), (2,)), ((0,), (0,)))   # batch pairs, contract D
+    dims_p = (((2,), (1,)), ((0,), (0,)))   # batch pairs, contract bs
 
     @pl.when(j == 0)
     def _init():
@@ -131,119 +150,106 @@ def _kernel(table_ref, pos_ref, q_ref, kp_ref, vp_ref, ks_ref, vs_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (gp, bs), 1)
+    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, bs), 2)
     valid = col <= pos_ref[i]
 
     @pl.when(j * bs <= pos_ref[i])   # skip fully-masked tail blocks
     def _block():
         # one widening shift per packed byte; P goes to the MXU as bytes
-        pk_raw = kp_ref[0]                                  # (bs, C) int8
+        pk_raw = kp_ref[0]                                 # (P2, bs, D) i8
         hk = (pk_raw.astype(jnp.int32) >> 4).astype(jnp.float32)
         pk = pk_raw.astype(jnp.float32)
         pv_raw = vp_ref[0]
         hv = (pv_raw.astype(jnp.int32) >> 4).astype(jnp.float32)
         pv = pv_raw.astype(jnp.float32)
 
-        for p in range(hkv // 2):  # static unroll over head pairs
-            h_lo, h_hi = 2 * p, 2 * p + 1
-            sl = slice(p * d, (p + 1) * d)                  # static (unrolled)
-            pk_p, hk_p = pk[:, sl], hk[:, sl]               # (bs, D)
-            q_lo = q_ref[0, h_lo].astype(jnp.float32)       # (Gp, D)
-            q_hi = q_ref[0, h_hi].astype(jnp.float32)
-            # K side: 3 half-width dots via one P dot + one stacked H dot
-            d1 = jax.lax.dot_general(
-                q_lo, pk_p, dims_t, preferred_element_type=jnp.float32)
-            d23 = jax.lax.dot_general(
-                jnp.concatenate([q_hi, q_lo], axis=0), hk_p, dims_t,
-                preferred_element_type=jnp.float32)         # (2Gp, bs)
-            sum_qlo = jnp.sum(q_lo, axis=1, keepdims=True)  # (Gp, 1)
-            s_hi_int = d23[:gp]
-            s_lo_int = d1 - 16.0 * d23[gp:] - 8.0 * sum_qlo
-            ks_lo = ks_ref[0, h_lo:h_lo + 1, :]             # (1, bs)
-            ks_hi = ks_ref[0, h_hi:h_hi + 1, :]
-            vs_lo = vs_ref[0, h_lo:h_lo + 1, :]
-            vs_hi = vs_ref[0, h_hi:h_hi + 1, :]
-
-            pv_p, hv_p = pv[:, sl], hv[:, sl]
-            for h, s_int, k_sc, v_sc, is_lo in (
-                (h_lo, s_lo_int, ks_lo, vs_lo, True),
-                (h_hi, s_hi_int, ks_hi, vs_hi, False),
-            ):
-                s = jnp.where(valid, s_int * k_sc * scale, -1e30)
-                m_prev = m_scr[h, :, :1]                    # (Gp, 1)
-                l_prev = l_scr[h, :, :1]
-                m_cur = jnp.max(s, axis=-1, keepdims=True)
-                m_new = jnp.maximum(m_prev, m_cur)
-                alpha = jnp.exp(m_prev - m_new)
-                prob = jnp.exp(s - m_new)                   # (Gp, bs)
-                l_new = l_prev * alpha + jnp.sum(prob, -1, keepdims=True)
-                psc = prob * v_sc                           # fold V scales
-                if is_lo:
-                    dv1 = jax.lax.dot_general(
-                        psc, pv_p, dims, preferred_element_type=jnp.float32)
-                    dv3 = jax.lax.dot_general(
-                        psc, hv_p, dims, preferred_element_type=jnp.float32)
-                    pvp = dv1 - 16.0 * dv3 - 8.0 * jnp.sum(
-                        psc, axis=1, keepdims=True)
-                else:
-                    pvp = jax.lax.dot_general(
-                        psc, hv_p, dims, preferred_element_type=jnp.float32)
-                acc_scr[h] = acc_scr[h] * alpha + pvp
-                m_scr[h, :, :1] = m_new
-                l_scr[h, :, :1] = l_new
+        q_lo = q_ref[0, 0].astype(jnp.float32)             # (P2, Gp, D)
+        q_hi = q_ref[0, 1].astype(jnp.float32)
+        # K side: q_lo·P and a stacked (q_hi, q_lo)·H — 2 batched launches
+        d1 = jax.lax.dot_general(
+            q_lo, pk, dims_t, preferred_element_type=jnp.float32)
+        d23 = jax.lax.dot_general(
+            jnp.concatenate([q_hi, q_lo], axis=1), hk, dims_t,
+            preferred_element_type=jnp.float32)            # (P2, 2Gp, bs)
+        sum_qlo = jnp.sum(q_lo, axis=2, keepdims=True)     # (P2, Gp, 1)
+        s_int = jnp.stack(
+            [d1 - 16.0 * d23[:, gp:] - 8.0 * sum_qlo,      # low heads
+             d23[:, :gp]],                                 # high heads
+            axis=0)                                        # (2, P2, Gp, bs)
+        ksc = ks_ref[0][:, :, None, :]                     # (2, P2, 1, bs)
+        vsc = vs_ref[0][:, :, None, :]
+        s = jnp.where(valid, s_int * (ksc * scale), -1e30)
+        m_prev = m_scr[:, :, :, :1]                        # (2, P2, Gp, 1)
+        l_prev = l_scr[:, :, :, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)          # invalid cols: exp(-1e30−m) = 0
+        l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
+        psc = p * vsc                                      # fold V scales
+        # V side: (p_hi', p_lo')·H stacked + p_lo'·P — 2 batched launches
+        dh = jax.lax.dot_general(
+            jnp.concatenate([psc[1], psc[0]], axis=1), hv, dims_p,
+            preferred_element_type=jnp.float32)            # (P2, 2Gp, D)
+        dv1 = jax.lax.dot_general(
+            psc[0], pv, dims_p, preferred_element_type=jnp.float32)
+        o_lo = dv1 - 16.0 * dh[:, gp:] - 8.0 * jnp.sum(
+            psc[0], axis=2, keepdims=True)
+        pvp = jnp.stack([o_lo, dh[:, :gp]], axis=0)        # (2, P2, Gp, D)
+        acc_scr[...] = acc_scr[...] * alpha + pvp
+        m_scr[:, :, :, :1] = m_new
+        l_scr[:, :, :, :1] = l_new
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _finalize():
-        for h in range(hkv):
-            denom = jnp.maximum(l_scr[h, :, :1], 1e-30)
-            o_ref[0, h] = (acc_scr[h] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(l_scr[:, :, :, :1], 1e-30)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_paged_attention_int4(q, kp_pool, vp_pool, ks_pool, vs_pool,
                                  table, pos, *, interpret=False):
-    b, hkv, gp, d = q.shape
-    bs = kp_pool.shape[1]
-    c = kp_pool.shape[2]
+    b, two, p2, gp, d = q.shape
+    bs = kp_pool.shape[2]
     wb = table.shape[1]
-    kv_spec = pl.BlockSpec((1, bs, c),
-                           lambda i, j, table, pos: (table[i, j], 0, 0),
+    kv_spec = pl.BlockSpec((1, p2, bs, d),
+                           lambda i, j, table, pos: (table[i, j], 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, hkv, bs),
-                           lambda i, j, table, pos: (table[i, j], 0, 0),
+    sc_spec = pl.BlockSpec((1, 2, p2, bs),
+                           lambda i, j, table, pos: (table[i, j], 0, 0, 0),
                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # table, pos
         grid=(b, wb),
         in_specs=[
-            pl.BlockSpec((1, hkv, gp, d),
-                         lambda i, j, table, pos: (i, 0, 0, 0),
+            pl.BlockSpec((1, 2, p2, gp, d),
+                         lambda i, j, table, pos: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             kv_spec, kv_spec, sc_spec, sc_spec,
         ],
-        out_specs=pl.BlockSpec((1, hkv, gp, d),
-                               lambda i, j, table, pos: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, 2, p2, gp, d),
+                               lambda i, j, table, pos: (i, 0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((hkv, gp, 128), jnp.float32),   # running max
-            pltpu.VMEM((hkv, gp, 128), jnp.float32),   # running denom
-            pltpu.VMEM((hkv, gp, d), jnp.float32),     # output accum
+            pltpu.VMEM((2, p2, gp, 128), jnp.float32),   # running max
+            pltpu.VMEM((2, p2, gp, 128), jnp.float32),   # running denom
+            pltpu.VMEM((2, p2, gp, d), jnp.float32),     # output accum
         ],
     )
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, gp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 2, p2, gp, d), q.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=3 * b * hkv * gp * wb * bs * d * 2,
-            bytes_accessed=b * wb * bs * c * 2          # packed K+V
-            + b * wb * hkv * bs * 4 * 2                 # scales
-            + b * hkv * gp * d * 4,
-            transcendentals=b * hkv * gp * wb * bs,
+            flops=3 * b * 2 * p2 * gp * wb * bs * d * 2,
+            bytes_accessed=b * wb * p2 * bs * d * 2      # packed K+V
+            + b * wb * 2 * p2 * bs * 4 * 2               # scales
+            + b * 2 * p2 * gp * d * 4,
+            transcendentals=b * 2 * p2 * gp * wb * bs,
         ),
     )(table.astype(jnp.int32), pos.astype(jnp.int32), q,
       kp_pool, vp_pool, ks_pool, vs_pool)
@@ -251,9 +257,9 @@ def _pallas_paged_attention_int4(q, kp_pool, vp_pool, ks_pool, vs_pool,
 
 def paged_decode_attention_int4(
     q: jnp.ndarray,         # (B, Hkv, G, D)
-    kp_pool: jnp.ndarray,   # (N, bs, (Hkv/2)·D) int8 packed
+    kp_pool: jnp.ndarray,   # (N, Hkv/2, bs, D) int8 packed
     vp_pool: jnp.ndarray,
-    ks_pool: jnp.ndarray,   # (N, Hkv, bs) f32 scales (transposed layout)
+    ks_pool: jnp.ndarray,   # (N, 2, Hkv/2, bs) f32 scales (nibble planes)
     vs_pool: jnp.ndarray,
     table: jnp.ndarray,     # (B, WB) int32 — window's block rows per slot
     pos: jnp.ndarray,       # (B,) int32
@@ -262,12 +268,17 @@ def paged_decode_attention_int4(
 ) -> jnp.ndarray:
     """Paged GQA decode attention over int4-packed K/V pools."""
     b, hkv, g, d = q.shape
+    p2 = hkv // 2
     gp = max(SUBLANE, ((g + SUBLANE - 1) // SUBLANE) * SUBLANE)
     if gp != g:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
-    out = _pallas_paged_attention_int4(q, kp_pool, vp_pool, ks_pool,
+    # (B, Hkv, Gp, D) → nibble-plane-major (B, 2, P2, Gp, D): plane 0 = low
+    # heads (2p), plane 1 = high heads (2p+1)
+    q4 = jnp.swapaxes(q.reshape(b, p2, 2, gp, d), 1, 2)
+    out = _pallas_paged_attention_int4(q4, kp_pool, vp_pool, ks_pool,
                                        vs_pool, table, pos,
                                        interpret=interpret)
+    out = jnp.swapaxes(out, 1, 2).reshape(b, hkv, gp, d)
     return out[:, :, :g] if gp != g else out
 
 
@@ -279,12 +290,14 @@ def paged_decode_attention_int4_reference(q, kp_pool, vp_pool, ks_pool,
     then-dot, by linearity); used by CPU tests and the XLA fallback path.
     """
     b, hkv, g, d = q.shape
-    bs = kp_pool.shape[1]
+    bs = kp_pool.shape[2]
     wb = table.shape[1]
-    k_int = unpack_kv_int4(kp_pool[table], hkv)     # (B, WB, bs, Hkv, D)
-    v_int = unpack_kv_int4(vp_pool[table], hkv)
-    ksc = jnp.swapaxes(ks_pool[table], -1, -2)      # (B, WB, bs, Hkv)
-    vsc = jnp.swapaxes(vs_pool[table], -1, -2)
+    # (B, WB, P2, bs, D) → (B, WB, bs, P2, D) → ints (B, WB, bs, Hkv, D)
+    k_int = unpack_kv_int4(jnp.moveaxis(kp_pool[table], 2, 3), hkv)
+    v_int = unpack_kv_int4(jnp.moveaxis(vp_pool[table], 2, 3), hkv)
+    # (B, WB, 2, P2, bs) → (B, WB, bs, 2, P2) → (B, WB, bs, Hkv)
+    ksc = planes_to_scales(jnp.moveaxis(ks_pool[table], 4, 2))
+    vsc = planes_to_scales(jnp.moveaxis(vs_pool[table], 4, 2))
     k = (k_int.astype(jnp.float32) * ksc[..., None]).reshape(
         b, wb * bs, hkv, d)
     v = (v_int.astype(jnp.float32) * vsc[..., None]).reshape(

@@ -126,20 +126,16 @@ def paged_kv_cache_pspecs(model_cfg: ModelConfig, int8: bool = False,
     shared by all slots (replicated over dp — any slot's table may point at
     any pool row), kv heads sharded over tp; tables/lengths follow slots.
 
-    int4 mode: pools are packed (N, bs, (Hkv/2)·D) — the channel axis is
-    pair-major so sharding it over tp keeps whole head pairs (= contiguous
-    kv-head ranges, matching the query-head sharding); scale pools are
-    transposed (N, Hkv, bs), heads sharded over tp.
+    Pools are head-batched (N, heads-axis, bs, D) — axis 1 is kv heads
+    (fp/int8) or head PAIRS (int4: pair p = heads 2p, 2p+1, so sharding
+    pairs over tp keeps contiguous kv-head ranges matching the query-head
+    sharding). Scale pools: int8 (N, Hkv, bs) heads over tp; int4 nibble
+    planes (N, 2, Hkv/2, bs) pairs over tp.
     """
     from tts_inference_tpu.models.llama import PagedKVCache
 
-    if int4:
-        spec = P(None, None, "tp")
-    else:
-        spec = P(None, None, "tp", None)
-    # quantized scale pools are transposed (N, Hkv, bs) in BOTH int8 and
-    # int4 modes — heads on axis 1
-    sspec = P(None, "tp", None)
+    spec = P(None, "tp", None, None)
+    sspec = P(None, None, "tp", None) if int4 else P(None, "tp", None)
     n = model_cfg.num_hidden_layers
     quant = int8 or int4
     return PagedKVCache(

@@ -49,13 +49,14 @@ def main():
     from tts_inference_tpu.ops.pallas.paged_attention import (
         paged_decode_attention, paged_decode_attention_int8)
     from tts_inference_tpu.ops.pallas.paged_attention_int4 import (
-        paged_decode_attention_int4, quantize_kv_int4)
+        paged_decode_attention_int4, quantize_kv_int4, scales_to_planes)
 
     b, wb, bs, hkv, g, d = args.b, args.wb, args.bs, args.hkv, args.g, args.d
     n_blocks = b * wb + 1
     rng = np.random.default_rng(0)
-    kf = jnp.asarray(rng.normal(size=(n_blocks, bs, hkv, d)), jnp.bfloat16)
-    vf = jnp.asarray(rng.normal(size=(n_blocks, bs, hkv, d)), jnp.bfloat16)
+    # head-batched pool layout (N, Hkv, bs, D)
+    kf = jnp.asarray(rng.normal(size=(n_blocks, hkv, bs, d)), jnp.bfloat16)
+    vf = jnp.asarray(rng.normal(size=(n_blocks, hkv, bs, d)), jnp.bfloat16)
     table = jnp.asarray(
         np.arange(1, n_blocks).reshape(b, wb).astype(np.int32))
     pos = jnp.full((b,), wb * bs - 1, jnp.int32)
@@ -76,22 +77,24 @@ def main():
     if not args.skip_fp:
         t = _timed(chained(paged_decode_attention, kf, vf, table, pos), q0)
         results["bf16"] = t / args.reps
-    # int8 pools: per-(block, pos, head) scales, transposed (N, Hkv, bs)
+    # int8 pools: per-(block, head, pos) scales — (N, Hkv, bs) directly
     sc = jnp.max(jnp.abs(kf.astype(jnp.float32)), -1) / 127.0
     k8 = jnp.clip(jnp.round(kf.astype(jnp.float32) / sc[..., None]),
                   -127, 127).astype(jnp.int8)
     scv = jnp.max(jnp.abs(vf.astype(jnp.float32)), -1) / 127.0
     v8 = jnp.clip(jnp.round(vf.astype(jnp.float32) / scv[..., None]),
                   -127, 127).astype(jnp.int8)
-    t = _timed(chained(paged_decode_attention_int8, k8, v8,
-                       jnp.swapaxes(sc, -1, -2), jnp.swapaxes(scv, -1, -2),
+    t = _timed(chained(paged_decode_attention_int8, k8, v8, sc, scv,
                        table, pos), q0)
     results["int8"] = t / args.reps
-    # int4 pools (packed, transposed scales)
-    k4, k4s = quantize_kv_int4(kf)
-    v4, v4s = quantize_kv_int4(vf)
-    k4s = jnp.swapaxes(k4s, -1, -2)
-    v4s = jnp.swapaxes(v4s, -1, -2)
+    # int4 pools: quantize in natural (pos, head) layout, then rearrange
+    # to pair-batched (N, P2, bs, D) + nibble-plane (N, 2, P2, bs) scales
+    k4n, k4sn = quantize_kv_int4(jnp.moveaxis(kf, 1, 2))
+    v4n, v4sn = quantize_kv_int4(jnp.moveaxis(vf, 1, 2))
+    k4 = jnp.moveaxis(k4n, 1, 2)
+    v4 = jnp.moveaxis(v4n, 1, 2)
+    k4s = jnp.moveaxis(scales_to_planes(k4sn), 1, 3)
+    v4s = jnp.moveaxis(scales_to_planes(v4sn), 1, 3)
     t = _timed(chained(paged_decode_attention_int4, k4, v4, k4s, v4s,
                        table, pos), q0)
     results["int4"] = t / args.reps
