@@ -448,15 +448,16 @@ class EngineCore:
             # int4 packed pools: prefix entries are stored PACKED (built by
             # an int4-cache prefill — see _prefix_build_impl), so injection
             # is a straight byte copy. Entry layouts are pair-batched
-            # (E, P2, PB, D) / nibble-plane (E, 2, P2, PB); the scatters
-            # want positions as the second advanced dim.
+            # (E, P2, PB, D) / nibble-plane (E, 2, P2, PB); rearranged so
+            # positions come right after the batch dims for pool_scatter
+            # (the layout-preserving flattened scatter, llama.pool_scatter).
             def inj4(c, pool):
                 sel = jnp.moveaxis(pool[pidx], 1, 2)   # (B, PB, P2, D)
-                return c.at[rows, :, offs].set(sel, mode="drop")
+                return llama.pool_scatter(c, rows, offs, sel, n_mid=1)
 
             def inj4s(c, pool):
                 sel = jnp.moveaxis(pool[pidx], 3, 1)   # (B, PB, 2, P2)
-                return c.at[rows, :, :, offs].set(sel, mode="drop")
+                return llama.pool_scatter(c, rows, offs, sel, n_mid=2)
 
             k = tuple(inj4(c, p) for c, p in zip(cache.k, pool_k))
             v = tuple(inj4(c, p) for c, p in zip(cache.v, pool_v))
@@ -466,22 +467,15 @@ class EngineCore:
 
         def inj(c, pool):
             # K/V pools are head-batched (N, Hkv, bs, D); the prefix pool
-            # keeps the dense (E, PB, Hkv, D) layout, so the (B, PB, Hkv,
-            # D) selection scatters to dims (0, 2) with heads riding along
-            sel = pool[pidx]                               # (B, PB, …)
-            return c.at[rows, :, offs].set(sel.astype(c.dtype), mode="drop")
-
-        def inj_sc(c, pool):
-            # int8 scale pools in the paged cache are positions-minor
-            # (N, Hkv, bs); the prefix pool keeps the dense (E, PB, Hkv)
-            # layout, so the (B, PB, Hkv) selection scatters to dims (0, 2)
-            sel = pool[pidx]
-            return c.at[rows, :, offs].set(sel, mode="drop")
+            # keeps the dense (E, PB, Hkv, D) layout — (B, PB, Hkv, D)
+            # selections scatter via the layout-preserving pool_scatter.
+            # Also serves the int8 (N, Hkv, bs) scale pools ((B, PB, Hkv)).
+            return llama.pool_scatter(c, rows, offs, pool[pidx], n_mid=1)
 
         k = tuple(inj(c, p) for c, p in zip(cache.k, pool_k))
         v = tuple(inj(c, p) for c, p in zip(cache.v, pool_v))
-        ks = tuple(inj_sc(c, p) for c, p in zip(cache.k_scale, pool_ks))
-        vs = tuple(inj_sc(c, p) for c, p in zip(cache.v_scale, pool_vs))
+        ks = tuple(inj(c, p) for c, p in zip(cache.k_scale, pool_ks))
+        vs = tuple(inj(c, p) for c, p in zip(cache.v_scale, pool_vs))
         return cache._replace(k=k, v=v, k_scale=ks, v_scale=vs)
 
     @staticmethod

@@ -293,6 +293,34 @@ def init_kv_cache(
     )
 
 
+def pool_scatter(c, rows, offs, new, n_mid=1):
+    """Scatter per-position values into a head-batched pool.
+
+    c: (N, *mid, bs[, D]) pool; rows/offs: (B, S) pool row / in-block
+    offset per position; new: (B, S, *mid[, D]); n_mid = number of
+    pool axes between the block row and the position axis (1 for K/V
+    and int8-scale pools, 2 for int4 nibble-plane scale pools).
+
+    A direct ``c.at[rows, :, offs]`` scatter has SEPARATED advanced
+    dims — XLA relayouts the whole pool around it (two full-pool copies
+    per write; HLO-verified, measured as a 30% serving regression at 64
+    slots). Flattening (N, *mid) into one leading dim makes the advanced
+    dims contiguous and keeps the default layout, so the scatter runs in
+    place on the donated pool.
+    """
+    n = c.shape[0]
+    mid = int(np.prod(c.shape[1:1 + n_mid])) if n_mid else 1
+    tail = c.shape[1 + n_mid:]
+    b, s = rows.shape
+    flat = rows[:, :, None] * mid + jnp.arange(mid, dtype=rows.dtype)
+    offs_b = jnp.broadcast_to(offs[:, :, None], (b, s, mid))
+    c2 = c.reshape((n * mid,) + tail)
+    new2 = new.reshape((b, s, mid) + tuple(tail[1:]))
+    out = c2.at[flat, offs_b].set(
+        new2.astype(c.dtype), mode="drop", unique_indices=True)
+    return out.reshape(c.shape)
+
+
 def _quantize_kv(x: jnp.ndarray):
     """(B, S, H, D) → int8 values + (B, S, H) fp32 scales."""
     scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
@@ -372,20 +400,13 @@ def _layer(
         offs = pos % blk_sz
 
         def write(c, new):
-            # head-batched pools (N, H', bs[, D]): advanced indices
-            # (rows, offs) select dims 0 and 2; the head axis (and D)
-            # ride along — value (B, S, H'[, D]). Serves K/V pools AND
-            # the int8 (N, Hkv, bs) scale pools.
-            return c.at[rows, :, offs].set(
-                new.astype(c.dtype), mode="drop", unique_indices=True,
-            )
+            # head-batched pools (N, H', bs[, D]): value (B, S, H'[, D]).
+            # Serves K/V pools AND the int8 (N, Hkv, bs) scale pools.
+            return pool_scatter(c, rows, offs, new, n_mid=1)
 
         def write_sc4(c, new):
-            # int4 nibble-plane scale pools (N, 2, P2, bs): advanced
-            # indices select dims 0 and 3 — value (B, S, 2, P2)
-            return c.at[rows, :, :, offs].set(
-                new.astype(c.dtype), mode="drop", unique_indices=True,
-            )
+            # int4 nibble-plane scale pools (N, 2, P2, bs): (B, S, 2, P2)
+            return pool_scatter(c, rows, offs, new, n_mid=2)
     elif s == 1:
         # decode hot path: redirect masked slots to a trash position instead
         # of select-copying the whole cache (bandwidth!). Position max_seq-1
