@@ -83,8 +83,58 @@ def compute(mesh):
     return loss, digest
 
 
+def serve_tick(mesh=None, replicate=False):
+    """A lockstep serving tick: tiny EngineCore prefill + decode.
+
+    With a multi-process mesh and replicate=True every process fetches the
+    full (replicated) token outputs and would take identical scheduling
+    decisions — the SPMD serving contract. Returns the token matrix.
+    """
+    import numpy as np
+
+    from tts_inference_tpu.config import (
+        EngineConfig, ModelConfig, SamplingConfig,
+    )
+    from tts_inference_tpu.engine.engine import EngineCore
+    from tts_inference_tpu.models import llama
+    from tts_inference_tpu.ops import sampling as S
+
+    dp = mesh.devices.shape[0] if mesh is not None else 1
+    tp = mesh.devices.shape[1] if mesh is not None else 1
+    model_cfg = ModelConfig(
+        vocab_size=512, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=8,
+        num_key_value_heads=max(4, tp), head_dim=16,
+        rope_scaling_factor=None, max_position_embeddings=256,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(
+        max_batch_size=2 * dp, max_input_len=32, max_output_len=96,
+        prefill_buckets=(16, 32), kv_buckets=(32, 64),
+        decode_steps_per_call=4,
+    )
+    import jax
+
+    params = llama.init_llama_params(jax.random.PRNGKey(0), model_cfg)
+    core = EngineCore(params, model_cfg, ecfg, eos_id=5, mesh=mesh,
+                      replicate_token_outs=replicate)
+    sp = S.SamplingParams.from_config(
+        SamplingConfig(greedy=True), ecfg.max_batch_size
+    )
+    core.seed_slots([0, 1], [1, 2])
+    toks0, tok, act = core.prefill_decode_launch(
+        [[7, 8, 9, 10], [11, 12, 13]], [0, 1], sp,
+        np.zeros(core.batch, np.int32), np.zeros(core.batch, bool), n=3,
+    )
+    toks1, _, _ = core.decode_steps(sp, tok, act)
+    return np.concatenate(
+        [np.asarray(toks0)[:2], np.asarray(toks1)[:2]], axis=1
+    )
+
+
 def main() -> None:
     pid, nproc, port, tp = (int(a) for a in sys.argv[1:5])
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
     from tts_inference_tpu.parallel.multihost import (
         init_multihost, make_global_mesh,
     )
@@ -96,6 +146,15 @@ def main() -> None:
     import jax
 
     mesh = make_global_mesh(tp=tp)
+    if mode == "serve":
+        toks = serve_tick(mesh, replicate=True)
+        flat = ",".join(str(int(t)) for t in toks.ravel())
+        print(
+            f"MHSERVE pid={pid} nproc={jax.process_count()} "
+            f"ndev={jax.device_count()} toks=[{flat}]",
+            flush=True,
+        )
+        return
     loss, digest = compute(mesh)
     print(
         f"MHOK pid={pid} nproc={jax.process_count()} "

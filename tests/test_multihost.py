@@ -92,3 +92,32 @@ def test_two_process_mesh_matches_single_process():
     digest_mh = float(parsed[0].group(6))
     np.testing.assert_allclose(loss_mh, loss_ref, rtol=2e-5)
     np.testing.assert_allclose(digest_mh, digest_ref, rtol=2e-5)
+
+
+def test_two_process_lockstep_serving_tick():
+    """EngineCore over a process-spanning mesh with replicated token outs:
+    every process fetches the full token matrix (lockstep SPMD serving) and
+    the tokens match the unsharded single-process engine exactly."""
+    port = _free_port()
+    env = _child_env()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, DRIVER, str(pid), "2", str(port), "4",
+             "serve"],
+            env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    toks = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+        m = re.search(r"MHSERVE pid=\d+ nproc=2 ndev=8 toks=\[([\d,]+)\]",
+                      out)
+        assert m, f"no MHSERVE line in child output:\n{out}"
+        toks.append(np.array([int(t) for t in m.group(1).split(",")]))
+
+    np.testing.assert_array_equal(toks[0], toks[1])
+    want = multihost_driver.serve_tick(mesh=None).ravel()
+    np.testing.assert_array_equal(toks[0], want)

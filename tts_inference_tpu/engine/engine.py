@@ -83,7 +83,15 @@ class EngineCore:
         eos_id: int = protocol.TOKEN_EOS,
         seed: int = 0,
         mesh=None,
+        replicate_token_outs: Optional[bool] = None,
     ):
+        if replicate_token_outs is None:
+            # auto: a mesh spanning processes (multi-host DCN) needs
+            # replicated token outputs for lockstep host-side scheduling;
+            # single-host meshes keep dp-sharded outs (no all-gather)
+            replicate_token_outs = mesh is not None and len(
+                {d.process_index for d in mesh.devices.flat}
+            ) > 1
         self.params = params
         self.model_cfg = model_cfg
         self.engine_cfg = engine_cfg
@@ -185,6 +193,16 @@ class EngineCore:
             sparams_sh = M.shardings(M.sampling_params_pspecs(), mesh)
             dp = NamedSharding(mesh, P("dp"))
             dp2 = NamedSharding(mesh, P("dp", None))
+            # Multi-host meshes (dp spanning processes over DCN): token
+            # outputs must be REPLICATED so every process can fetch them
+            # and take identical host-side scheduling decisions (lockstep
+            # SPMD serving) — a dp-sharded output is not addressable
+            # outside the process that owns the shard. The all-gather is
+            # a few KB per decode call. Single-host meshes keep dp outs.
+            tok_out = NamedSharding(mesh, P()) if replicate_token_outs \
+                else dp
+            tok_out2 = NamedSharding(mesh, P(None, None)) \
+                if replicate_token_outs else dp2
             self.params = jax.device_put(params, psh)
             self.cache = jax.device_put(self.cache, cache_sh)
             self.sampling_state = jax.device_put(
@@ -193,16 +211,21 @@ class EngineCore:
             prefill_kw = dict(
                 in_shardings=(psh, dp2, dp, cache_sh, sstate_sh, sparams_sh,
                               dp),
-                out_shardings=(dp, cache_sh, sstate_sh),
+                out_shardings=(tok_out, cache_sh, sstate_sh),
             )
+            # last_tok/active inputs chain from the (possibly replicated)
+            # outputs of the previous launch — their in_shardings must match
             decode_kw = dict(
-                in_shardings=(psh, cache_sh, sstate_sh, sparams_sh, dp, dp),
-                out_shardings=(dp2, dp, dp, cache_sh, sstate_sh),
+                in_shardings=(psh, cache_sh, sstate_sh, sparams_sh, tok_out,
+                              tok_out),
+                out_shardings=(tok_out2, tok_out, tok_out, cache_sh,
+                               sstate_sh),
             )
             pd_kw = dict(
                 in_shardings=(psh, dp2, dp, cache_sh, sstate_sh, sparams_sh,
-                              dp, dp, dp, dp, dp),
-                out_shardings=(dp2, dp, dp, cache_sh, sstate_sh),
+                              dp, tok_out, tok_out, dp, dp),
+                out_shardings=(tok_out2, tok_out, tok_out, cache_sh,
+                               sstate_sh),
             )
 
         # --- jitted graphs -------------------------------------------------
@@ -299,16 +322,20 @@ class EngineCore:
                 sparams_sh_ = prefill_kw["in_shardings"][5]
                 dp_ = NamedSharding(mesh, P("dp"))
                 dp2_ = NamedSharding(mesh, P("dp", None))
+                tok_ = NamedSharding(mesh, P()) if replicate_token_outs \
+                    else dp_
+                tok2_ = NamedSharding(mesh, P(None, None)) \
+                    if replicate_token_outs else dp2_
                 ppfx_kw = dict(
                     in_shardings=(psh_, dp2_, dp_, dp2_, dp_, dp_, pools_sh,
                                   cache_sh_, sstate_sh_, sparams_sh_, dp_),
-                    out_shardings=(dp_, cache_sh_, sstate_sh_),
+                    out_shardings=(tok_, cache_sh_, sstate_sh_),
                 )
                 pdpfx_kw = dict(
                     in_shardings=(psh_, dp2_, dp_, dp2_, dp_, dp_, pools_sh,
                                   cache_sh_, sstate_sh_, sparams_sh_, dp_,
-                                  dp_, dp_, dp_, dp_),
-                    out_shardings=(dp2_, dp_, dp_, cache_sh_, sstate_sh_),
+                                  tok_, tok_, dp_, dp_),
+                    out_shardings=(tok2_, tok_, tok_, cache_sh_, sstate_sh_),
                 )
             # (params, ptoks (1, PB), plen (1,)) → per-layer prefix KV
             self._prefix_build = jax.jit(

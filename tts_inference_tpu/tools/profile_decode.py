@@ -52,6 +52,13 @@ def main(argv=None) -> int:
     ap.add_argument("--steps", type=int, default=21)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--paged-kv", action="store_true")
+    ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--kv-int4", action="store_true")
+    ap.add_argument("--prefill-len", type=int, default=12,
+                    help="prompt length per slot — sets the cache depth "
+                         "(and thus the attention window) the profiled "
+                         "decode runs at")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -68,6 +75,28 @@ def main(argv=None) -> int:
 
     enable_compilation_cache(None)
     cfg = tiny_config() if args.tiny else Config()
+    if args.paged_kv or args.kv_int8 or args.kv_int4:
+        import dataclasses
+
+        if not args.tiny:
+            # the serving geometry bench.py uses (max_seq 2176, not the
+            # default 4608) — a 64-slot dense-pool profile at the default
+            # geometry exceeds one chip's HBM
+            cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
+                cfg.engine, max_input_len=128, max_output_len=2048,
+            ))
+        max_seq = cfg.engine.max_input_len + cfg.engine.max_output_len
+        blk = next(b for b in (128, 64, 32, 16) if max_seq % b == 0)
+        cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
+            cfg.engine, paged_kv=args.paged_kv,
+            kv_cache_int8=args.kv_int8, kv_cache_int4=args.kv_int4,
+            kv_block_size=blk if args.paged_kv else cfg.engine.kv_block_size,
+            # the profiler prefills every slot up front (no capacity-gated
+            # admission), so the pool must hold full-depth slots — unlike
+            # serving, which oversubscribes batch * max_seq / 2
+            kv_pool_tokens=(args.batch + 1) * max_seq
+            if args.paged_kv else cfg.engine.kv_pool_tokens,
+        ))
     params = llama.init_llama_params(jax.random.PRNGKey(0), cfg.model)
     if args.quantize:
         from tts_inference_tpu.models.quant import quantize_llama_params
@@ -76,7 +105,8 @@ def main(argv=None) -> int:
     core = EngineCore(params, cfg.model, cfg.engine, batch_size=args.batch)
     sp = S.SamplingParams.from_config(SamplingConfig(), args.batch)
     tok = core.prefill_slots(
-        [[1] * 12] * args.batch, list(range(args.batch)), sp
+        [[1] * args.prefill_len] * args.batch,
+        list(range(args.batch)), sp,
     )
     act = np.ones(args.batch, bool)
     core.decode_steps(sp, tok, act, n=7)  # compile
