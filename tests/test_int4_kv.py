@@ -289,3 +289,39 @@ def test_tp_must_divide_pairs(params):
     mesh = M.make_mesh(MeshConfig(dp=2, tp=2))
     with pytest.raises(ValueError, match="pairs"):
         EngineCore(params, CFG, I4, eos_id=5, mesh=mesh)
+
+
+def test_paged_int4_kernel_multi_block_tail(monkeypatch):
+    """Ceil-grid super-blocks on the packed-int4 kernel: non-dividing WB
+    clamps tail operand indices; column mask discards the duplicates."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tts_inference_tpu.ops.pallas import paged_attention as PA
+    from tts_inference_tpu.ops.pallas.paged_attention_int4 import (
+        paged_decode_attention_int4, paged_decode_attention_int4_reference,
+        quantize_kv_int4, scales_to_planes,
+    )
+
+    monkeypatch.setattr(PA, "MAX_BLOCKS_PER_STEP", 2)
+    rng = np.random.default_rng(13)
+    b, hkv, g, d, bs, wb = 2, 4, 3, 128, 16, 5
+    n = wb * b + 1
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    kf = jnp.asarray(rng.normal(size=(n, bs, hkv, d)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(n, bs, hkv, d)), jnp.float32)
+    k4n, k4s = quantize_kv_int4(kf)
+    v4n, v4s = quantize_kv_int4(vf)
+    kp = jnp.moveaxis(k4n, 1, 2)                    # (N, P2, bs, D)
+    vp = jnp.moveaxis(v4n, 1, 2)
+    ks = jnp.moveaxis(scales_to_planes(k4s), 1, 3)  # (N, 2, P2, bs)
+    vs = jnp.moveaxis(scales_to_planes(v4s), 1, 3)
+    perm = rng.permutation(np.arange(1, n))
+    table = jnp.asarray(perm.reshape(b, wb), jnp.int32)
+    pos = jnp.asarray([wb * bs - 1, wb * bs // 3], jnp.int32)
+    want = paged_decode_attention_int4_reference(
+        q, kp, vp, ks, vs, table, pos)
+    got = paged_decode_attention_int4(q, kp, vp, ks, vs, table, pos,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-3)

@@ -283,3 +283,50 @@ def test_paged_int8_engine_with_pallas_kernel_matches():
     want = run(cfg, False)
     got = run(dataclasses.replace(cfg, use_pallas_attention=True), True)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("wb,cap", [(5, 2), (7, 8), (9, 4)])
+def test_paged_kernel_multi_block_tail(wb, cap, monkeypatch):
+    """Ceil-grid super-blocks: when blocks-per-step does not divide WB the
+    tail operand indices clamp to the last window block and the column
+    mask discards the duplicates (the long-audio engine's WB=95 case)."""
+    from tts_inference_tpu.ops.pallas import paged_attention as PA
+
+    monkeypatch.setattr(PA, "MAX_BLOCKS_PER_STEP", cap)
+    rng = np.random.default_rng(11)
+    b, hkv, g, d, bs = 2, 4, 3, 128, 16
+    n = wb * b + 1
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    kp = jnp.asarray(rng.normal(size=(n, hkv, bs, d)), jnp.float32)
+    vp = jnp.asarray(rng.normal(size=(n, hkv, bs, d)), jnp.float32)
+    perm = rng.permutation(np.arange(1, n))
+    table = jnp.asarray(perm.reshape(b, wb), jnp.int32)
+    pos = jnp.asarray([wb * bs - 1, wb * bs // 2], jnp.int32)
+    want = PA.paged_decode_attention_reference(q, kp, vp, table, pos)
+    got = PA.paged_decode_attention(q, kp, vp, table, pos, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("wb,cap", [(5, 2), (9, 4)])
+def test_paged_int8_kernel_multi_block_tail(wb, cap, monkeypatch):
+    from tts_inference_tpu.ops.pallas import paged_attention as PA
+
+    monkeypatch.setattr(PA, "MAX_BLOCKS_PER_STEP", cap)
+    rng = np.random.default_rng(12)
+    b, hkv, g, d, bs = 2, 4, 3, 128, 16
+    n = wb * b + 1
+    q = jnp.asarray(rng.normal(size=(b, hkv, g, d)), jnp.float32)
+    kp = jnp.asarray(rng.integers(-127, 128, size=(n, hkv, bs, d)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, size=(n, hkv, bs, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.03, size=(n, hkv, bs)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.03, size=(n, hkv, bs)), jnp.float32)
+    perm = rng.permutation(np.arange(1, n))
+    table = jnp.asarray(perm.reshape(b, wb), jnp.int32)
+    pos = jnp.asarray([wb * bs - 1, wb * bs // 3], jnp.int32)
+    want = PA.paged_decode_attention_int8_reference(
+        q, kp, vp, ks, vs, table, pos)
+    got = PA.paged_decode_attention_int8(q, kp, vp, ks, vs, table, pos,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)

@@ -6,10 +6,11 @@ TRT-LLM paged KV + flashinfer-style block attention,
 path (models/llama.py) must first GATHER the window's blocks into a dense
 (B, W, Hkv, D) temp — paying the window's HBM bytes twice. This kernel
 instead streams each pool block through VMEM exactly once: the grid is
-(slot, window-block) and the K/V BlockSpec index_map reads the block table
-(a scalar-prefetch operand) to DMA pool row `table[i, j]` directly.
+(slot, window-super-block) and the K/V BlockSpec index_maps read the block
+table (a scalar-prefetch operand) to DMA pool rows `table[i, j*m+t]`
+directly.
 
-Layout lessons, both measured with tools/kv_kernel_bench.py (B=64 W=512 /
+Layout lessons, all measured with tools/kv_kernel_bench.py (B=64 W=512 /
 B=4 W=12288 serving shapes):
 
 1. **Head-batched pools** (N, Hkv, bs, D) — heads on axis 1, positions on
@@ -23,6 +24,13 @@ B=4 W=12288 serving shapes):
    SLOWER than bf16 pools. Scales apply AFTER the integer dots (score
    columns / probability rows — equal to dequantizing first, by
    linearity), so K/V bytes feed the MXU straight from the DMA.
+3. **Multi-block grid steps** (`BLOCKS_PER_STEP` = m): even head-batched,
+   the B=64 serving shape ran at ~0.70 µs per grid step against ~0.41 µs
+   of DMA — still overhead-bound (round-3 step attribution: attention was
+   4.96 of the 11.8 ms step, tools/step_bench.py). One grid step now DMAs
+   m table-indexed pool blocks as m separate operands, concatenates them
+   in VMEM, and runs ONE dot over m·bs positions — m× fewer grid steps
+   and dot launches for the same HBM bytes.
 
 Shapes (N = pool blocks, bs = block size, Hkv = kv heads, G = query heads
 per kv head, D = head dim, WB = window blocks):
@@ -34,8 +42,8 @@ per kv head, D = head dim, WB = window blocks):
     pos:   (B,) int32      — kv index j attends iff j <= pos[slot]
     out:   (B, Hkv, G, D)
 
-Online softmax across the WB grid steps (running max / denominator / accum
-in VMEM scratch, sequential grid on TPU) — identical math to flash
+Online softmax across the WB/m grid steps (running max / denominator /
+accum in VMEM scratch, sequential grid on TPU) — identical math to flash
 attention's streaming pass, vectorized over the head axis.
 """
 
@@ -51,58 +59,119 @@ from jax.experimental.pallas import tpu as pltpu
 
 SUBLANE = 8  # fp32 sublane tile
 
+# super-block width cap: m pool blocks (m*bs positions) per grid step.
+# VMEM per step at m=8, bs=128: K+V int8 2*8*128*128*8 = 2.1 MB (+ double
+# buffering) — comfortably inside v5e VMEM while killing grid overhead.
+MAX_BLOCKS_PER_STEP = 8
 
-def _kernel(table_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
-            m_scr, l_scr, acc_scr):
-    # q_ref/o_ref: (1, Hkv, Gp, D); k/v_ref: (1, Hkv, bs, D) = pool block
-    # table[i, j]; scratch: m/l (Hkv, Gp, 128), acc (Hkv, Gp, D)
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    gp = q_ref.shape[2]
-    bs = k_ref.shape[2]
-    d = q_ref.shape[3]
-    scale = 1.0 / math.sqrt(d)
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -1e30)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+def _blocks_per_step(wb: int) -> int:
+    return min(MAX_BLOCKS_PER_STEP, wb)
 
-    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, bs), 2)
-    valid = col <= pos_ref[i]
 
-    @pl.when(j * bs <= pos_ref[i])   # skip fully-masked tail blocks
-    def _block():
-        q = q_ref[0].astype(jnp.float32)                  # (Hkv, Gp, D)
-        k = k_ref[0].astype(jnp.float32)                  # (Hkv, bs, D)
-        v = v_ref[0].astype(jnp.float32)
-        # ONE batched dot over the head axis (vs one launch per head —
-        # the launch-bound regime this layout exists to kill)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                         # (Hkv, Gp, bs)
-        s = jnp.where(valid, s, -1e30)
-        m_prev = m_scr[:, :, :1]                          # (Hkv, Gp, 1)
-        l_prev = l_scr[:, :, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)                   # rescale old accum
-        p = jnp.exp(s - m_new)                            # (Hkv, Gp, bs)
-        l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                 # (Hkv, Gp, D)
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[:, :, :1] = m_new
-        l_scr[:, :, :1] = l_new
+def _make_kernel(m: int, quantized: bool):
+    """Kernel factory: m pool blocks per grid step; int8 pools if
+    `quantized` (with post-dot scale application, see module docstring)."""
 
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _finalize():
-        denom = jnp.maximum(l_scr[:, :, :1], 1e-30)
-        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+    def kernel(table_ref, pos_ref, q_ref, *refs):
+        k_refs = refs[0:m]
+        v_refs = refs[m:2 * m]
+        if quantized:
+            ks_refs = refs[2 * m:3 * m]
+            vs_refs = refs[3 * m:4 * m]
+            o_ref, m_scr, l_scr, acc_scr = refs[4 * m:]
+        else:
+            o_ref, m_scr, l_scr, acc_scr = refs[2 * m:]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gp = q_ref.shape[2]
+        bs = k_refs[0].shape[2]
+        d = q_ref.shape[3]
+        scale = 1.0 / math.sqrt(d)
+        mbs = m * bs
+
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        col = j * mbs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, mbs), 2)
+        valid = col <= pos_ref[i]
+
+        @pl.when(j * mbs <= pos_ref[i])   # skip fully-masked tail steps
+        def _block():
+            q = q_ref[0].astype(jnp.float32)              # (Hkv, Gp, D)
+            k = jnp.concatenate(
+                [r[0] for r in k_refs], axis=1
+            ).astype(jnp.float32)                         # (Hkv, m*bs, D)
+            v = jnp.concatenate(
+                [r[0] for r in v_refs], axis=1).astype(jnp.float32)
+            # ONE batched dot over the head axis (vs one launch per head —
+            # the launch-bound regime this layout exists to kill)
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale                                     # (Hkv, Gp, m*bs)
+            if quantized:
+                ksc = jnp.concatenate(
+                    [r[0] for r in ks_refs], axis=1)[:, None, :]
+                vsc = jnp.concatenate(
+                    [r[0] for r in vs_refs], axis=1)[:, None, :]
+                s = s * ksc
+            s = jnp.where(valid, s, -1e30)
+            m_prev = m_scr[:, :, :1]                      # (Hkv, Gp, 1)
+            l_prev = l_scr[:, :, :1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)               # rescale old accum
+            p = jnp.exp(s - m_new)                        # (Hkv, Gp, m*bs)
+            l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
+            if quantized:
+                p = p * vsc
+            pv = jax.lax.dot_general(
+                p, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                             # (Hkv, Gp, D)
+            acc_scr[...] = acc_scr[...] * alpha + pv
+            m_scr[:, :, :1] = m_new
+            l_scr[:, :, :1] = l_new
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _finalize():
+            denom = jnp.maximum(l_scr[:, :, :1], 1e-30)
+            o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _kv_specs(m: int, wb: int, hkv: int, bs: int, d: int):
+    """m table-indexed pool-block specs: operand t of super-block j DMAs
+    pool row table[i, j*m + t]. When m does not divide WB (e.g. the
+    long-audio engine's 95-block window), the ceil-grid's tail indices
+    clamp to the last window block — those positions sit beyond `pos` and
+    the kernel's column mask discards them."""
+    def imap(t, i, j, table, pos):
+        idx = jnp.minimum(j * m + t, wb - 1)
+        return (table[i, idx], 0, 0, 0)
+
+    return [
+        pl.BlockSpec((1, hkv, bs, d), functools.partial(imap, t),
+                     memory_space=pltpu.VMEM)
+        for t in range(m)
+    ]
+
+
+def _sc_specs(m: int, wb: int, hkv: int, bs: int):
+    def imap(t, i, j, table, pos):
+        idx = jnp.minimum(j * m + t, wb - 1)
+        return (table[i, idx], 0, 0)
+
+    return [
+        pl.BlockSpec((1, hkv, bs), functools.partial(imap, t),
+                     memory_space=pltpu.VMEM)
+        for t in range(m)
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -111,17 +180,15 @@ def _pallas_paged_attention(q, k_pool, v_pool, table, pos, *,
     b, hkv, gp, d = q.shape
     bs = k_pool.shape[2]
     wb = table.shape[1]
-    kv_spec = pl.BlockSpec((1, hkv, bs, d),
-                           lambda i, j, table, pos: (table[i, j], 0, 0, 0),
-                           memory_space=pltpu.VMEM)
+    m = _blocks_per_step(wb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # table, pos
-        grid=(b, wb),
+        grid=(b, -(-wb // m)),
         in_specs=[
             pl.BlockSpec((1, hkv, gp, d),
                          lambda i, j, table, pos: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            kv_spec, kv_spec,
+            *(_kv_specs(m, wb, hkv, bs, d) * 2),
         ],
         out_specs=pl.BlockSpec((1, hkv, gp, d),
                                lambda i, j, table, pos: (i, 0, 0, 0),
@@ -133,7 +200,7 @@ def _pallas_paged_attention(q, k_pool, v_pool, table, pos, *,
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(m, quantized=False),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, gp, d), q.dtype),
         interpret=interpret,
@@ -146,7 +213,8 @@ def _pallas_paged_attention(q, k_pool, v_pool, table, pos, *,
             + b * hkv * gp * d * 4,
             transcendentals=b * hkv * gp * wb * bs,
         ),
-    )(table.astype(jnp.int32), pos.astype(jnp.int32), q, k_pool, v_pool)
+    )(table.astype(jnp.int32), pos.astype(jnp.int32), q,
+      *([k_pool] * m), *([v_pool] * m))
 
 
 def paged_decode_attention(
@@ -167,82 +235,22 @@ def paged_decode_attention(
     return out[:, :, :g] if gp != g else out
 
 
-def _kernel_int8(table_ref, pos_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                 o_ref, m_scr, l_scr, acc_scr):
-    """int8-pool twin of _kernel: K/V blocks are int8 with per-(block,
-    head, position) fp32 scales; the HBM read is HALF the fp16 kernel's
-    bytes. Scales apply after the integer dots (score columns / probability
-    rows), so the int8 bytes feed the MXU with one i8→f32 convert and no
-    per-element scale multiply."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    gp = q_ref.shape[2]
-    bs = k_ref.shape[2]
-    d = q_ref.shape[3]
-    scale = 1.0 / math.sqrt(d)
-
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -1e30)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
-
-    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, bs), 2)
-    valid = col <= pos_ref[i]
-
-    @pl.when(j * bs <= pos_ref[i])   # skip fully-masked tail blocks
-    def _block():
-        q = q_ref[0].astype(jnp.float32)                  # (Hkv, Gp, D)
-        k = k_ref[0].astype(jnp.float32)                  # (Hkv, bs, D)
-        v = v_ref[0].astype(jnp.float32)
-        ksc = ks_ref[0][:, None, :]                       # (Hkv, 1, bs)
-        vsc = vs_ref[0][:, None, :]
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * (ksc * scale)                                 # (Hkv, Gp, bs)
-        s = jnp.where(valid, s, -1e30)
-        m_prev = m_scr[:, :, :1]
-        l_prev = l_scr[:, :, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                            # (Hkv, Gp, bs)
-        l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p * vsc, v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                                 # (Hkv, Gp, D)
-        acc_scr[...] = acc_scr[...] * alpha + pv
-        m_scr[:, :, :1] = m_new
-        l_scr[:, :, :1] = l_new
-
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _finalize():
-        denom = jnp.maximum(l_scr[:, :, :1], 1e-30)
-        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_paged_attention_int8(q, k_pool, v_pool, ks_pool, vs_pool,
                                  table, pos, *, interpret=False):
     b, hkv, gp, d = q.shape
     bs = k_pool.shape[2]
     wb = table.shape[1]
-    kv_spec = pl.BlockSpec((1, hkv, bs, d),
-                           lambda i, j, table, pos: (table[i, j], 0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, hkv, bs),
-                           lambda i, j, table, pos: (table[i, j], 0, 0),
-                           memory_space=pltpu.VMEM)
+    m = _blocks_per_step(wb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # table, pos
-        grid=(b, wb),
+        grid=(b, -(-wb // m)),
         in_specs=[
             pl.BlockSpec((1, hkv, gp, d),
                          lambda i, j, table, pos: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            kv_spec, kv_spec, sc_spec, sc_spec,
+            *(_kv_specs(m, wb, hkv, bs, d) * 2),
+            *(_sc_specs(m, wb, hkv, bs) * 2),
         ],
         out_specs=pl.BlockSpec((1, hkv, gp, d),
                                lambda i, j, table, pos: (i, 0, 0, 0),
@@ -254,7 +262,7 @@ def _pallas_paged_attention_int8(q, k_pool, v_pool, ks_pool, vs_pool,
         ],
     )
     return pl.pallas_call(
-        _kernel_int8,
+        _make_kernel(m, quantized=True),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, gp, d), q.dtype),
         interpret=interpret,
@@ -268,7 +276,7 @@ def _pallas_paged_attention_int8(q, k_pool, v_pool, ks_pool, vs_pool,
             transcendentals=b * hkv * gp * wb * bs,
         ),
     )(table.astype(jnp.int32), pos.astype(jnp.int32), q,
-      k_pool, v_pool, ks_pool, vs_pool)
+      *([k_pool] * m), *([v_pool] * m), *([ks_pool] * m), *([vs_pool] * m))
 
 
 def paged_decode_attention_int8(

@@ -130,102 +130,128 @@ def planes_to_scales(planes: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _kernel(table_ref, pos_ref, q_ref, kp_ref, vp_ref, ks_ref, vs_ref,
-            o_ref, m_scr, l_scr, acc_scr):
-    # q_ref/o_ref: (1, 2, P2, Gp, D) — nibble plane major (caller arranges);
-    # kp/vp_ref: (1, P2, bs, D) int8 pool block table[i, j];
-    # ks/vs_ref: (1, 2, P2, bs) f32; scratch m/l (2, P2, Gp, 128),
-    # acc (2, P2, Gp, D)
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    gp, d = q_ref.shape[3], q_ref.shape[4]
-    bs = kp_ref.shape[2]
-    scale = 1.0 / math.sqrt(d)
-    dims_t = (((2,), (2,)), ((0,), (0,)))   # batch pairs, contract D
-    dims_p = (((2,), (1,)), ((0,), (0,)))   # batch pairs, contract bs
+def _make_kernel(m: int):
+    """Kernel factory: m pool blocks (m·bs positions) per grid step —
+    the multi-block grid-overhead fix of paged_attention.py, applied to
+    the packed-int4 kernel."""
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[...] = jnp.full_like(m_scr, -1e30)
-        l_scr[...] = jnp.zeros_like(l_scr)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+    def kernel(table_ref, pos_ref, q_ref, *refs):
+        # q_ref/o_ref: (1, 2, P2, Gp, D) — nibble plane major (caller
+        # arranges); kp/vp refs: m x (1, P2, bs, D) int8 pool blocks
+        # table[i, j*m+t]; ks/vs refs: m x (1, 2, P2, bs) f32;
+        # scratch m/l (2, P2, Gp, 128), acc (2, P2, Gp, D)
+        kp_refs = refs[0:m]
+        vp_refs = refs[m:2 * m]
+        ks_refs = refs[2 * m:3 * m]
+        vs_refs = refs[3 * m:4 * m]
+        o_ref, m_scr, l_scr, acc_scr = refs[4 * m:]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        gp, d = q_ref.shape[3], q_ref.shape[4]
+        bs = kp_refs[0].shape[2]
+        mbs = m * bs
+        scale = 1.0 / math.sqrt(d)
+        dims_t = (((2,), (2,)), ((0,), (0,)))   # batch pairs, contract D
+        dims_p = (((2,), (1,)), ((0,), (0,)))   # batch pairs, contract bs
 
-    col = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, bs), 2)
-    valid = col <= pos_ref[i]
+        @pl.when(j == 0)
+        def _init():
+            m_scr[...] = jnp.full_like(m_scr, -1e30)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(j * bs <= pos_ref[i])   # skip fully-masked tail blocks
-    def _block():
-        # one widening shift per packed byte; P goes to the MXU as bytes
-        pk_raw = kp_ref[0]                                 # (P2, bs, D) i8
-        hk = (pk_raw.astype(jnp.int32) >> 4).astype(jnp.float32)
-        pk = pk_raw.astype(jnp.float32)
-        pv_raw = vp_ref[0]
-        hv = (pv_raw.astype(jnp.int32) >> 4).astype(jnp.float32)
-        pv = pv_raw.astype(jnp.float32)
+        col = j * mbs + jax.lax.broadcasted_iota(jnp.int32, (1, gp, mbs), 2)
+        valid = col <= pos_ref[i]
 
-        q_lo = q_ref[0, 0].astype(jnp.float32)             # (P2, Gp, D)
-        q_hi = q_ref[0, 1].astype(jnp.float32)
-        # K side: q_lo·P and a stacked (q_hi, q_lo)·H — 2 batched launches
-        d1 = jax.lax.dot_general(
-            q_lo, pk, dims_t, preferred_element_type=jnp.float32)
-        d23 = jax.lax.dot_general(
-            jnp.concatenate([q_hi, q_lo], axis=1), hk, dims_t,
-            preferred_element_type=jnp.float32)            # (P2, 2Gp, bs)
-        sum_qlo = jnp.sum(q_lo, axis=2, keepdims=True)     # (P2, Gp, 1)
-        s_int = jnp.stack(
-            [d1 - 16.0 * d23[:, gp:] - 8.0 * sum_qlo,      # low heads
-             d23[:, :gp]],                                 # high heads
-            axis=0)                                        # (2, P2, Gp, bs)
-        ksc = ks_ref[0][:, :, None, :]                     # (2, P2, 1, bs)
-        vsc = vs_ref[0][:, :, None, :]
-        s = jnp.where(valid, s_int * (ksc * scale), -1e30)
-        m_prev = m_scr[:, :, :, :1]                        # (2, P2, Gp, 1)
-        l_prev = l_scr[:, :, :, :1]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)          # invalid cols: exp(-1e30−m) = 0
-        l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
-        psc = p * vsc                                      # fold V scales
-        # V side: (p_hi', p_lo')·H stacked + p_lo'·P — 2 batched launches
-        dh = jax.lax.dot_general(
-            jnp.concatenate([psc[1], psc[0]], axis=1), hv, dims_p,
-            preferred_element_type=jnp.float32)            # (P2, 2Gp, D)
-        dv1 = jax.lax.dot_general(
-            psc[0], pv, dims_p, preferred_element_type=jnp.float32)
-        o_lo = dv1 - 16.0 * dh[:, gp:] - 8.0 * jnp.sum(
-            psc[0], axis=2, keepdims=True)
-        pvp = jnp.stack([o_lo, dh[:, :gp]], axis=0)        # (2, P2, Gp, D)
-        acc_scr[...] = acc_scr[...] * alpha + pvp
-        m_scr[:, :, :, :1] = m_new
-        l_scr[:, :, :, :1] = l_new
+        @pl.when(j * mbs <= pos_ref[i])   # skip fully-masked tail steps
+        def _block():
+            # one widening shift per packed byte; P feeds the MXU as bytes
+            pk_raw = jnp.concatenate(
+                [r[0] for r in kp_refs], axis=1)           # (P2, mbs, D) i8
+            hk = (pk_raw.astype(jnp.int32) >> 4).astype(jnp.float32)
+            pk = pk_raw.astype(jnp.float32)
+            pv_raw = jnp.concatenate([r[0] for r in vp_refs], axis=1)
+            hv = (pv_raw.astype(jnp.int32) >> 4).astype(jnp.float32)
+            pv = pv_raw.astype(jnp.float32)
 
-    @pl.when(j == pl.num_programs(1) - 1)
-    def _finalize():
-        denom = jnp.maximum(l_scr[:, :, :, :1], 1e-30)
-        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+            q_lo = q_ref[0, 0].astype(jnp.float32)         # (P2, Gp, D)
+            q_hi = q_ref[0, 1].astype(jnp.float32)
+            # K side: q_lo·P and stacked (q_hi, q_lo)·H — 2 batched launches
+            d1 = jax.lax.dot_general(
+                q_lo, pk, dims_t, preferred_element_type=jnp.float32)
+            d23 = jax.lax.dot_general(
+                jnp.concatenate([q_hi, q_lo], axis=1), hk, dims_t,
+                preferred_element_type=jnp.float32)        # (P2, 2Gp, mbs)
+            sum_qlo = jnp.sum(q_lo, axis=2, keepdims=True)  # (P2, Gp, 1)
+            s_int = jnp.stack(
+                [d1 - 16.0 * d23[:, gp:] - 8.0 * sum_qlo,  # low heads
+                 d23[:, :gp]],                             # high heads
+                axis=0)                                    # (2, P2, Gp, mbs)
+            ksc = jnp.concatenate(
+                [r[0] for r in ks_refs], axis=2)[:, :, None, :]
+            vsc = jnp.concatenate(
+                [r[0] for r in vs_refs], axis=2)[:, :, None, :]
+            s = jnp.where(valid, s_int * (ksc * scale), -1e30)
+            m_prev = m_scr[:, :, :, :1]                    # (2, P2, Gp, 1)
+            l_prev = l_scr[:, :, :, :1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)       # invalid cols: exp(-1e30−m) = 0
+            l_new = l_prev * alpha + jnp.sum(p, -1, keepdims=True)
+            psc = p * vsc                                  # fold V scales
+            # V side: (p_hi', p_lo')·H stacked + p_lo'·P — 2 launches
+            dh = jax.lax.dot_general(
+                jnp.concatenate([psc[1], psc[0]], axis=1), hv, dims_p,
+                preferred_element_type=jnp.float32)        # (P2, 2Gp, D)
+            dv1 = jax.lax.dot_general(
+                psc[0], pv, dims_p, preferred_element_type=jnp.float32)
+            o_lo = dv1 - 16.0 * dh[:, gp:] - 8.0 * jnp.sum(
+                psc[0], axis=2, keepdims=True)
+            pvp = jnp.stack([o_lo, dh[:, :gp]], axis=0)    # (2, P2, Gp, D)
+            acc_scr[...] = acc_scr[...] * alpha + pvp
+            m_scr[:, :, :, :1] = m_new
+            l_scr[:, :, :, :1] = l_new
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _finalize():
+            denom = jnp.maximum(l_scr[:, :, :, :1], 1e-30)
+            o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_paged_attention_int4(q, kp_pool, vp_pool, ks_pool, vs_pool,
                                  table, pos, *, interpret=False):
+    from tts_inference_tpu.ops.pallas.paged_attention import _blocks_per_step
+
     b, two, p2, gp, d = q.shape
     bs = kp_pool.shape[2]
     wb = table.shape[1]
-    kv_spec = pl.BlockSpec((1, p2, bs, d),
-                           lambda i, j, table, pos: (table[i, j], 0, 0, 0),
-                           memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((1, 2, p2, bs),
-                           lambda i, j, table, pos: (table[i, j], 0, 0, 0),
-                           memory_space=pltpu.VMEM)
+    m = _blocks_per_step(wb)
+
+    def kv_imap(t, i, j, table, pos):
+        return (table[i, jnp.minimum(j * m + t, wb - 1)], 0, 0, 0)
+
+    kv_specs = [
+        pl.BlockSpec((1, p2, bs, d), functools.partial(kv_imap, t),
+                     memory_space=pltpu.VMEM)
+        for t in range(m)
+    ]
+    sc_specs = [
+        pl.BlockSpec((1, 2, p2, bs), functools.partial(kv_imap, t),
+                     memory_space=pltpu.VMEM)
+        for t in range(m)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # table, pos
-        grid=(b, wb),
+        grid=(b, -(-wb // m)),
         in_specs=[
             pl.BlockSpec((1, 2, p2, gp, d),
                          lambda i, j, table, pos: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            kv_spec, kv_spec, sc_spec, sc_spec,
+            *(kv_specs * 2), *(sc_specs * 2),
         ],
         out_specs=pl.BlockSpec((1, 2, p2, gp, d),
                                lambda i, j, table, pos: (i, 0, 0, 0, 0),
@@ -237,7 +263,7 @@ def _pallas_paged_attention_int4(q, kp_pool, vp_pool, ks_pool, vs_pool,
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(m),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 2, p2, gp, d), q.dtype),
         interpret=interpret,
@@ -252,7 +278,8 @@ def _pallas_paged_attention_int4(q, kp_pool, vp_pool, ks_pool, vs_pool,
             transcendentals=b * 2 * p2 * gp * wb * bs,
         ),
     )(table.astype(jnp.int32), pos.astype(jnp.int32), q,
-      kp_pool, vp_pool, ks_pool, vs_pool)
+      *([kp_pool] * m), *([vp_pool] * m),
+      *([ks_pool] * m), *([vs_pool] * m))
 
 
 def paged_decode_attention_int4(
