@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +63,10 @@ SUBLANE = 8  # fp32 sublane tile
 # super-block width cap: m pool blocks (m*bs positions) per grid step.
 # VMEM per step at m=8, bs=128: K+V int8 2*8*128*128*8 = 2.1 MB (+ double
 # buffering) — comfortably inside v5e VMEM while killing grid overhead.
-MAX_BLOCKS_PER_STEP = 8
+# Env knob for on-chip tuning (PERF.md round-3 third session: the m=8
+# microbench win did not transfer to the serving tick — sweep with
+# kv_kernel_bench/step_bench before trusting a value).
+MAX_BLOCKS_PER_STEP = int(os.environ.get("TTS_PAGED_MBS", "8"))
 
 
 def _blocks_per_step(wb: int) -> int:
