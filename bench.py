@@ -252,7 +252,11 @@ def run_concurrent(rt, tokens: int, streams: int,
         return out
 
     try:
+        t_cold = time.perf_counter()
         one_pass()           # cold (compiles)
+        print(json.dumps({"cold_pass_s":
+                          round(time.perf_counter() - t_cold, 1)}),
+              file=sys.stderr, flush=True)
         if tick_profile:
             sched.enable_tick_profile()
         passes = [one_pass() for _ in range(max(1, iters))]
@@ -332,9 +336,13 @@ def main() -> int:
     ap.add_argument("--virtual-devices", type=int, default=None,
                     help="force N virtual CPU devices (sharding without "
                          "hardware; implies CPU platform)")
-    ap.add_argument("--iters", type=int, default=3,
-                    help="warm passes to median over (the dispatch tunnel "
-                         "adds ±30-50 ms jitter; single passes chase noise)")
+    ap.add_argument("--iters", type=int, default=9,
+                    help="warm passes to median over. Engine-level runs "
+                         "show ±10%% run-to-run spread (PERF.md round-3 "
+                         "variance study; the r3 driver scoreboard dipped "
+                         "17.07 at iters=3 while an idle-host 10-iter "
+                         "median read 18.15) — the default is sized so the "
+                         "headline is a stable median, not a draw")
     ap.add_argument("--real-tokenizer", action="store_true",
                     help="use a REAL BPE tokenizer (tiny trained fixture, "
                          "tools/tokenizer_fixture.py) + 16/32/64/128 "
@@ -424,6 +432,7 @@ def main() -> int:
         prefill_buckets = (16, 32, 64, 128)
     if args.kv_int4 and args.kv_int8:
         args.kv_int8 = False   # int4 supersedes when both are requested
+    t_boot = time.perf_counter()
     rt = build_runtime(args.smoke, args.quantize, args.steps_per_call,
                        args.slots, args.kv_int8, args.tp, args.dp,
                        kv_int4=args.kv_int4,
@@ -434,6 +443,13 @@ def main() -> int:
                        max_output=max_output, tokenizer_path=tokenizer_path,
                        prefill_buckets=prefill_buckets, qos=qos_cfg,
                        weight_bits=args.weight_bits)
+    # boot anatomy to stderr (PERF.md boot-budget rows; the JSON contract
+    # on stdout stays one line)
+    print(json.dumps({
+        "boot_s": round(time.perf_counter() - t_boot, 1),
+        "load_timings": {k: (round(v, 2) if isinstance(v, float) else v)
+                         for k, v in rt.load_timings.items()},
+    }), file=sys.stderr, flush=True)
     if args.mode == "long":
         warm = run_concurrent(rt, args.tokens, args.streams,
                               args.native_protocol, args.pipeline_depth,

@@ -133,3 +133,49 @@ def test_dataset_inspect(rng):
     assert rep["records"] == 12
     assert rep["fields"]["text"] == 12
     assert "mean" in rep["text_chars"]
+
+
+def test_load_dataset_dir_arrow(tmp_path, rng):
+    """HF-datasets on-disk reader (VERDICT r3 Missing #3): a real
+    save_to_disk arrow dataset with an extra audio-like column drops into
+    the same record schema as load_jsonl; tag mining still works."""
+    datasets = pytest.importorskip("datasets")
+    src = D.synthetic_records(rng, n=6)
+    src[0]["text"] = "<laugh> " + src[0]["text"]
+    ds = datasets.Dataset.from_dict({
+        "text": [r["text"] for r in src],
+        "voice": [r["voice"] for r in src],
+        "codes": [r["codes"] for r in src],
+        # the reference removes its raw audio column
+        # (modal_finetune_base.py:73); ours must survive extra columns
+        "audio_len": [len(r["codes"]) for r in src],
+    })
+    path = str(tmp_path / "hfds")
+    ds.save_to_disk(path)
+    recs = D.load_dataset_dir(path)
+    assert [r["text"] for r in recs] == [r["text"] for r in src]
+    assert all("audio_len" not in r for r in recs)
+    assert recs[0]["codes"] == src[0]["codes"]
+    assert "<laugh>" in D.mine_tags([r["text"] for r in recs])
+    # batches() accepts the records unchanged
+    tok = ByteTokenizer()
+    toks, lens = next(D.batches(tok, recs, 2, 128))
+    assert toks.shape == (2, 128) and lens.shape == (2,)
+
+
+def test_load_dataset_dir_parquet(tmp_path, rng):
+    pq = pytest.importorskip("pyarrow.parquet")
+    import pyarrow as pa
+
+    src = D.synthetic_records(rng, n=5)
+    t = pa.table({
+        "text": [r["text"] for r in src],
+        "codes": [r["codes"] for r in src],
+    })
+    d = tmp_path / "pqds"
+    d.mkdir()
+    pq.write_table(t, str(d / "part-0.parquet"))
+    recs = D.load_dataset_dir(str(d))
+    assert len(recs) == 5
+    assert all(r["voice"] == "tara" for r in recs)  # default fills in
+    assert recs[1]["codes"] == src[1]["codes"]

@@ -16,6 +16,7 @@ resize_token_embeddings). Here:
 from __future__ import annotations
 
 import json
+import os
 import re
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -89,6 +90,54 @@ def load_jsonl(path: str) -> List[dict]:
             if line:
                 records.append(json.loads(line))
     return records
+
+
+def load_dataset_dir(path: str, *, split: Optional[str] = None,
+                     text_column: str = "text",
+                     voice_column: str = "voice",
+                     codes_column: str = "codes") -> List[dict]:
+    """Read an HF-datasets on-disk dataset (arrow dir from
+    `Dataset.save_to_disk`, or a directory of parquet files) into the same
+    record schema `load_jsonl` yields, so a real corpus (the reference's
+    `rumik-ai/hi-elise`, `modal_finetune_base.py:73-105`) drops into
+    `finetune.py` without conversion.
+
+    Mirrors the reference's `.remove_columns(["audio"])`: raw audio arrays
+    are dropped; only text/voice/codes survive. Missing voice defaults to
+    "tara"; missing codes → text-only LM records.
+    """
+    import glob as _glob
+
+    rows: Iterator[dict]
+    if _glob.glob(os.path.join(path, "*.parquet")):
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p)
+                  for p in sorted(_glob.glob(os.path.join(path, "*.parquet")))]
+        rows = (r for t in tables for r in t.to_pylist())
+    else:
+        import datasets  # HF datasets — in-image; arrow on-disk format
+
+        ds = datasets.load_from_disk(path)
+        if isinstance(ds, datasets.DatasetDict):
+            ds = ds[split] if split else ds[next(iter(ds))]
+        drop = [c for c in ds.column_names
+                if c not in (text_column, voice_column, codes_column)]
+        if drop:
+            ds = ds.remove_columns(drop)  # the reference's audio-drop
+        rows = iter(ds)
+    out: List[dict] = []
+    for r in rows:
+        text = r.get(text_column)
+        if text is None:
+            continue
+        rec = {"text": str(text),
+               "voice": str(r.get(voice_column) or "tara")}
+        codes = r.get(codes_column)
+        if codes:
+            rec["codes"] = [int(c) for c in codes]
+        out.append(rec)
+    return out
 
 
 def synthetic_records(rng: np.random.Generator, n: int = 32,
@@ -178,12 +227,17 @@ def _main(argv=None) -> int:
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", help="JSONL path (omit for synthetic demo)")
+    ap.add_argument("--dataset", help="JSONL path or HF-datasets on-disk "
+                                      "dir (omit for synthetic demo)")
     ap.add_argument("--synthetic-records", type=int, default=32)
     args = ap.parse_args(argv)
-    recs = (load_jsonl(args.dataset) if args.dataset
-            else synthetic_records(np.random.default_rng(0),
-                                   n=args.synthetic_records))
+    if args.dataset and os.path.isdir(args.dataset):
+        recs = load_dataset_dir(args.dataset)
+    elif args.dataset:
+        recs = load_jsonl(args.dataset)
+    else:
+        recs = synthetic_records(np.random.default_rng(0),
+                                 n=args.synthetic_records)
     print(json.dumps(inspect(recs), indent=2))
     return 0
 

@@ -53,6 +53,12 @@ def _records(args, rng):
     from tts_inference_tpu.training import data as D
 
     if args.dataset:
+        import os
+
+        if os.path.isdir(args.dataset):
+            # HF-datasets on-disk dir (arrow/parquet) — the reference's
+            # load_dataset path (modal_finetune_base.py:73)
+            return D.load_dataset_dir(args.dataset)
         return D.load_jsonl(args.dataset)
     return D.synthetic_records(rng, n=args.synthetic_records)
 
@@ -203,7 +209,9 @@ def main(argv=None) -> int:
 
     t = sub.add_parser("train")
     common(t)
-    t.add_argument("--dataset", help="JSONL with text/voice/codes records")
+    t.add_argument("--dataset", help="JSONL with text/voice/codes records, "
+                                     "or an HF-datasets on-disk dir "
+                                     "(arrow/parquet)")
     t.add_argument("--synthetic-records", type=int, default=32)
     t.add_argument("--steps", type=int, default=100)
     t.add_argument("--batch-size", type=int, default=2)
