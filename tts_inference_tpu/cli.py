@@ -84,7 +84,7 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
                         "sharding without hardware; implies --cpu)")
 
 
-def _build_runtime(args):
+def _build_runtime(args, mesh=None):
     if getattr(args, "virtual_devices", None):
         # must land before jax initializes its backends
         import os
@@ -167,6 +167,7 @@ def _build_runtime(args):
         warmup=not args.no_warmup,
         quantize=args.quantize,
         weight_bits=args.weight_bits,
+        mesh=mesh,
     )
 
 
@@ -294,21 +295,98 @@ def cmd_devices(args) -> int:
 def cmd_serve(args) -> int:
     from tts_inference_tpu.serving.app import run_app
 
-    rt = _build_runtime(args)
+    # lockstep multi-host serving (SURVEY §5.8 DCN / VERDICT r3 #2): one
+    # logical engine spans N processes; process 0 owns the WS/HTTP API and
+    # mirrors every device-entering EngineCore call to followers over a TCP
+    # side channel (parallel/lockstep.py), so all processes enter the same
+    # jitted graphs in lockstep SPMD.
+    mesh = None
+    want_warmup = not args.no_warmup
+    if args.coordinator:
+        if args.num_processes < 2:
+            raise SystemExit("--coordinator requires --num-processes >= 2")
+        if not args.multi_stream:
+            raise SystemExit("lockstep serving requires the scheduler "
+                             "(drop --single-stream)")
+        from tts_inference_tpu.parallel.multihost import (
+            init_multihost, make_global_mesh,
+        )
+
+        init_multihost(
+            args.coordinator, args.num_processes, args.process_id,
+            platform="cpu" if args.cpu else None,
+            local_cpu_devices=args.virtual_devices,
+        )
+        args.virtual_devices = None     # applied by init_multihost
+        mesh = make_global_mesh(tp=args.tp if args.tp > 1 else None)
+        # Runtime warmup would enter mesh graphs through the UNMIRRORED
+        # single-stream engine; the scheduler's warmup (mirrored) covers
+        # every graph lockstep serving uses.
+        args.no_warmup = True
+    rt = _build_runtime(args, mesh=mesh)
+
+    if args.coordinator and args.process_id != 0:
+        # follower: connect the side channel FIRST — EngineCore.__init__
+        # device_puts onto the multi-process mesh, which is a COLLECTIVE
+        # (process_allgather value check), and process 0 only enters its
+        # matching collective after accepting this connection; building the
+        # core before connecting deadlocks the cluster
+        from tts_inference_tpu import protocol
+        from tts_inference_tpu.engine.engine import EngineCore
+        from tts_inference_tpu.parallel import lockstep as LS
+
+        host = args.coordinator.rsplit(":", 1)[0]
+        sock = LS.follower_channel(host, args.lockstep_port)
+        print(json.dumps({"lockstep_follower": args.process_id,
+                          "status": "connected"}), flush=True)
+        core = EngineCore(
+            rt.engine.core.params, rt.config.model, rt.config.engine,
+            eos_id=protocol.TOKEN_EOS, seed=args.seed, mesh=mesh,
+        )
+        n = LS.follower_loop(core, sock)
+        print(json.dumps({"lockstep_follower": args.process_id,
+                          "replayed_calls": n}), flush=True)
+        return 0
+
+    wrap_core = None
+    mirror: list = []
+    if args.coordinator:
+        from tts_inference_tpu.parallel import lockstep as LS
+
+        socks = LS.coordinator_channel(
+            args.lockstep_port, args.num_processes - 1
+        )
+
+        def wrap_core(core):  # noqa: F811
+            m = LS.MirroredCore(core, socks)
+            mirror.append(m)
+            return m
+
     scheduler = None
     if args.multi_stream:
         from tts_inference_tpu.engine.scheduler import Scheduler
 
         scheduler = Scheduler(
             rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
-            seed=args.seed, mesh=rt.mesh,
+            seed=args.seed, mesh=mesh if args.coordinator else rt.mesh,
             use_native=args.native_protocol,
+            wrap_core=wrap_core,
         )
-        if not args.no_warmup:
+        if args.coordinator:
+            # the fused path feeds mesh-replicated tokens into a LOCAL
+            # vocode jit — incompatible across processes; the async vocode
+            # worker (host tokens → local device) handles first chunks
+            scheduler.fuse_admission_vocode = False
+        if want_warmup:
             print("warming scheduler graphs (first boot compiles; cached "
                   "afterwards)…", flush=True)
             print(scheduler.warmup(), flush=True)
-    run_app(rt, host=args.host, port=args.port, scheduler=scheduler)
+    try:
+        run_app(rt, host=args.host, port=args.port, scheduler=scheduler,
+                lockstep=bool(args.coordinator))
+    finally:
+        for m in mirror:
+            m.close()
     return 0
 
 
@@ -374,6 +452,18 @@ def main(argv=None) -> int:
     s.add_argument("--native-protocol", action="store_true",
                    help="C++ token extractor + deinterleave in the "
                         "scheduler hot path (native/tts_runtime.cpp)")
+    s.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="lockstep multi-host serving: jax.distributed "
+                        "coordinator address; one logical engine spans all "
+                        "processes, process 0 serves the API "
+                        "(parallel/lockstep.py)")
+    s.add_argument("--num-processes", type=int, default=1,
+                   help="total processes in the lockstep cluster")
+    s.add_argument("--process-id", type=int, default=0,
+                   help="this process's index (0 = API owner)")
+    s.add_argument("--lockstep-port", type=int, default=18765,
+                   help="TCP side-channel port on the coordinator host for "
+                        "mirrored EngineCore calls")
     s.set_defaults(fn=cmd_serve)
 
     dv = sub.add_parser("devices", help="device visibility check")

@@ -188,6 +188,7 @@ class Scheduler:
         seed: int = 0,
         mesh=None,
         use_native: bool = False,
+        wrap_core=None,
     ):
         self.config = config
         self.vocoder = vocoder
@@ -204,6 +205,10 @@ class Scheduler:
             params, config.model, config.engine, eos_id=eos_id, seed=seed,
             mesh=mesh,
         )
+        if wrap_core is not None:
+            # lockstep multi-host serving: every device-entering call is
+            # mirrored to follower processes (parallel/lockstep.py)
+            self.core = wrap_core(self.core)
         b = self.core.batch
         self.slots: List[Optional[_SlotState]] = [None] * b
         self.pending: "queue.Queue[TTSRequest]" = queue.Queue()

@@ -61,6 +61,7 @@ class Runtime:
         warmup: bool = False,
         quantize: bool = False,
         weight_bits: int = 8,
+        mesh=None,
     ) -> "Runtime":
         config = config or Config()
         enable_compilation_cache(config.engine.compilation_cache_dir)
@@ -171,8 +172,7 @@ class Runtime:
         # sharded serving: build the device mesh once; the single-stream
         # engine and the continuous-batching scheduler both run their jitted
         # graphs over it (TP over ICI + DP over slots, SURVEY.md §5.8)
-        mesh = None
-        if config.mesh.num_devices > 1:
+        if mesh is None and config.mesh.num_devices > 1:
             from tts_inference_tpu.parallel import mesh as M
 
             mesh = M.make_mesh(config.mesh)

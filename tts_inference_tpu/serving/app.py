@@ -109,9 +109,13 @@ def parse_request(data: dict, defaults: SamplingConfig,
 
 
 class Server:
-    def __init__(self, runtime, scheduler=None):
+    def __init__(self, runtime, scheduler=None, lockstep=False):
         self.rt = runtime
         self.scheduler = scheduler            # multi-stream mode when set
+        # lockstep multi-host serving: the single-stream GenerationEngine's
+        # mesh graphs are NOT mirrored to follower processes, so the token
+        # debug endpoints that drive it are disabled (parallel/lockstep.py)
+        self.lockstep = lockstep
         self.lock = asyncio.Lock()
         self.started_at = time.time()
         self.requests_served = 0
@@ -427,6 +431,10 @@ class Server:
         )
         if not text:
             return web.json_response({"error": "No text provided"}, status=400)
+        if self.lockstep:
+            return web.json_response(
+                {"error": "token debug endpoints are unavailable under "
+                          "lockstep multi-host serving"}, status=503)
         if self._busy():
             return web.json_response({"error": "Generation in progress"},
                                      status=503)
@@ -556,6 +564,12 @@ class Server:
                 if not text:
                     await ws.send_json({"error": "No text provided"})
                     continue
+                if self.lockstep:
+                    await ws.send_json(
+                        {"error": "token debug endpoints are unavailable "
+                                  "under lockstep multi-host serving"}
+                    )
+                    continue
                 if self._busy():
                     await ws.send_json(
                         {"error": "Generation in progress, try again later"}
@@ -599,8 +613,8 @@ class Server:
         return ws
 
 
-def create_app(runtime, scheduler=None) -> web.Application:
-    server = Server(runtime, scheduler)
+def create_app(runtime, scheduler=None, lockstep=False) -> web.Application:
+    server = Server(runtime, scheduler, lockstep=lockstep)
     app = web.Application()
     app["server"] = server
     app.add_routes([
@@ -620,11 +634,12 @@ def create_app(runtime, scheduler=None) -> web.Application:
 
 
 def run_app(runtime, host: str = "0.0.0.0", port: int = 8000,
-            scheduler=None) -> None:
+            scheduler=None, lockstep=False) -> None:
     if scheduler is not None:
         scheduler.start()
     try:
-        web.run_app(create_app(runtime, scheduler), host=host, port=port)
+        web.run_app(create_app(runtime, scheduler, lockstep=lockstep),
+                    host=host, port=port)
     finally:
         if scheduler is not None:
             scheduler.stop()
