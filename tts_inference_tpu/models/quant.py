@@ -14,7 +14,9 @@ params flow through the same model code.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple
+import functools
+import os
+from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,9 +69,17 @@ def quantize_embed(w: jnp.ndarray) -> QuantEmbed:
 
 # quantization group along `in`; == the kernel's packed-K tile, so scales
 # apply to partial sums, not per element (the VPU-cost analysis in
-# ops/pallas/int4_matmul.py — finer AWQ-style 128 groups priced the
-# dequant off the VPU's budget on v5e)
+# ops/pallas/int4_matmul.py). AWQ-style 128 groups cut matmul error ~13%
+# (rel_rms 0.118 vs 0.133, PERF.md int4 campaign) at the cost of 4× the
+# K-grid steps; both are kernel-supported — pick via TTS_INT4_GROUP or
+# `cli quantize --int4-group` (group is recovered from shapes at load).
 I4_GROUP = 512
+
+
+def _i4_group() -> int:
+    """Env-tunable at call time (TTS_INT4_GROUP), so `cli quantize` and
+    serve boots pick it up without import-order games."""
+    return int(os.environ.get("TTS_INT4_GROUP", str(I4_GROUP)))
 
 
 def quantize_linear_i4(w: jnp.ndarray, group: int = I4_GROUP) -> QuantLinearI4:
@@ -99,7 +109,8 @@ _LINEAR_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def quantize_llama_params(
-    params: Dict, *, quantize_embed_table: bool = True, bits: int = 8
+    params: Dict, *, quantize_embed_table: bool = True, bits: int = 8,
+    group: Optional[int] = None,
 ) -> Dict:
     """Full params tree → quantized tree (norms stay fp; done layer by layer
     so peak memory holds one extra layer, not two full models).
@@ -111,7 +122,11 @@ def quantize_llama_params(
     the sliced-head decode already reads only the audio-vocab rows.
     """
     assert bits in (8, 4), bits
-    qlin = quantize_linear if bits == 8 else quantize_linear_i4
+    if bits == 4:
+        qlin = functools.partial(quantize_linear_i4,
+                                 group=group or _i4_group())
+    else:
+        qlin = quantize_linear
     out = dict(params)
     layers = []
     for lp in params["layers"]:
