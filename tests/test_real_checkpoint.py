@@ -193,3 +193,41 @@ def test_cli_quantize_then_generate(tmp_path, capsys):
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["audio_duration_s"] > 0
+
+
+@pytest.mark.slow
+def test_full_geometry_disk_roundtrip(tmp_path):
+    """FULL 3B dims on disk → production loader, CPU, load only (VERDICT
+    r3 #5): the tiny fixtures cannot catch full-size sharding/layout/load
+    issues. ~6.4 GB of bf16 shards stream to disk and back."""
+    from tts_inference_tpu.config import ModelConfig
+    from tts_inference_tpu.models.loader import load_llama_checkpoint
+    from tts_inference_tpu.tools.make_checkpoint import write_checkpoint
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    out = str(tmp_path / "o3b")
+    info = write_checkpoint(out, shard_bytes=2 << 30)
+    full = ModelConfig()
+    # 3B bf16 ≈ 6.4 GB → multiple 2 GiB shards, like real releases
+    assert info["shards"] >= 3
+    assert info["tensors"] == 2 + 9 * full.num_hidden_layers
+
+    params, cfg = load_llama_checkpoint(out)
+    assert cfg.hidden_size == full.hidden_size
+    assert cfg.vocab_size == full.vocab_size
+    assert len(params["layers"]) == full.num_hidden_layers
+    assert params["embed"].shape == (full.vocab_size, full.hidden_size)
+    assert params["layers"][0]["wq"].shape == (
+        full.hidden_size,
+        full.num_attention_heads * full.head_dim,
+    )
+    assert params["layers"][0]["w_down"].shape == (
+        full.intermediate_size, full.hidden_size,
+    )
+    assert str(params["embed"].dtype) == "bfloat16"
+    # tokenizer rides along (production boot needs it in the model dir)
+    import os
+
+    assert os.path.exists(os.path.join(out, "tokenizer.json"))

@@ -1184,8 +1184,15 @@ class EngineCore:
                 finally:
                     self._len_bounds[:] = saved
         self.reset_slots(list(range(self.batch)))
+        # graph census (VERDICT r3 #7): every compiled graph with its wall
+        # cost — lands in build_info.json via Runtime load_timings so the
+        # AOT budget has a trend line and unreachable shapes are visible
+        census = {k: round(v, 1) for k, v in t.phases.items()
+                  if k.startswith("compile_")}
         return {"warmed_windows": windows,
-                "warmed_buckets": list(self.engine_cfg.prefill_buckets)}
+                "warmed_buckets": list(self.engine_cfg.prefill_buckets),
+                "graphs_compiled": len(census),
+                "graph_census_ms": census}
 
 
 class GenerationEngine:

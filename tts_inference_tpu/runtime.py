@@ -207,7 +207,9 @@ class Runtime:
                 )
             timings["warmup_s"] = time.perf_counter() - t0
             timings.update({
-                k: (v / 1000.0 if isinstance(v, (int, float)) else v)
+                k: (v / 1000.0
+                    if isinstance(v, (int, float)) and k != "graphs_compiled"
+                    else v)
                 for k, v in info.items()
             })
 

@@ -159,37 +159,36 @@ def _token_metrics(ref: List[int], got: List[int]) -> Dict[str, float]:
     }
 
 
-def _teacher_forced(rt, ref_rt, token_seq: List[int]) -> Dict[str, float]:
-    """Push the bf16 token sequence through this rung's model (prefill) and
-    compare next-token argmaxes + logit RMS against the bf16 model."""
+def _tf_logits(rt, token_seq: List[int]) -> Optional[np.ndarray]:
+    """Prefill logits for a fixed token sequence (teacher forcing)."""
     import jax.numpy as jnp
 
     from tts_inference_tpu.models import llama
 
     t = len(token_seq)
     if t < 8:
-        return {}
+        return None
     toks = jnp.asarray(np.asarray(token_seq, np.int32)[None, :])
     plen = jnp.asarray([t], jnp.int32)
+    cfg = rt.config.model
+    cache = llama.init_kv_cache(cfg, 1, ((t + 127) // 128) * 128)
+    lg, _ = llama.prefill(rt.engine.core.params, cfg, toks, plen, cache)
+    return np.asarray(lg, np.float32)
 
-    def logits_of(r):
-        cfg = r.config.model
-        cache = llama.init_kv_cache(cfg, 1, ((t + 127) // 128) * 128)
-        lg, _ = llama.prefill(r.engine.core.params, cfg, toks, plen, cache)
-        return np.asarray(lg, np.float32)
 
-    lg_q = logits_of(rt)
-    lg_r = logits_of(ref_rt)
+def _teacher_forced(lg_q: Optional[np.ndarray],
+                    lg_r: Optional[np.ndarray]) -> Dict[str, float]:
+    """Compare a rung's teacher-forced logits against the cached bf16 ones
+    (numpy — the bf16 RUNTIME is freed before any other rung boots; two
+    full-geometry runtimes do not co-fit in HBM)."""
+    if lg_q is None or lg_r is None:
+        return {}
     if lg_q.ndim == 3:      # (1, T, V): per-position logits
-        a_q = lg_q[0].argmax(-1)
-        a_r = lg_r[0].argmax(-1)
-        agree = float((a_q == a_r).mean())
-        rms = float(np.sqrt(np.mean((lg_q - lg_r) ** 2))
-                    / (np.sqrt(np.mean(lg_r ** 2)) + 1e-9))
+        agree = float((lg_q[0].argmax(-1) == lg_r[0].argmax(-1)).mean())
     else:                   # (1, V): final-position logits only
         agree = float(lg_q[0].argmax() == lg_r[0].argmax())
-        rms = float(np.sqrt(np.mean((lg_q - lg_r) ** 2))
-                    / (np.sqrt(np.mean(lg_r ** 2)) + 1e-9))
+    rms = float(np.sqrt(np.mean((lg_q - lg_r) ** 2))
+                / (np.sqrt(np.mean(lg_r ** 2)) + 1e-9))
     return {"tf_argmax_agree": agree, "tf_logit_rel_rms": rms}
 
 
@@ -200,7 +199,7 @@ def run_ladder(*, tiny: bool, tokens: int, utterances: int, seed: int,
     results: Dict[str, dict] = {}
     ref_tokens: List[List[int]] = []
     ref_waves: List[np.ndarray] = []
-    ref_rt = None
+    ref_logits: Optional[np.ndarray] = None
     for name, over in rungs:
         t0 = time.perf_counter()
         rt = _build(over, tiny=tiny, seed=seed, tokens=tokens)
@@ -220,9 +219,12 @@ def run_ladder(*, tiny: bool, tokens: int, utterances: int, seed: int,
         entry: dict = {"utterances": per_utt,
                        "build_s": round(time.perf_counter() - t0, 1)}
         if name == "bf16":
-            ref_rt = rt
+            # cache teacher-forcing logits as NUMPY and free the runtime —
+            # two full-geometry runtimes do not co-fit in HBM
+            ref_logits = _tf_logits(rt, ref_tokens[0])
         else:
-            entry.update(_teacher_forced(rt, ref_rt, ref_tokens[0]))
+            entry.update(_teacher_forced(
+                _tf_logits(rt, ref_tokens[0]), ref_logits))
             # aggregate over utterances
             for k in ("mse", "max_diff", "corr", "token_match_frac"):
                 entry[k] = round(float(np.median(
@@ -230,8 +232,10 @@ def run_ladder(*, tiny: bool, tokens: int, utterances: int, seed: int,
         results[name] = entry
         print(f"[ladder] {name}: {json.dumps({k: v for k, v in entry.items() if k != 'utterances'})}",
               file=sys.stderr, flush=True)
-        if name != "bf16":
-            del rt
+        del rt
+        import gc
+
+        gc.collect()
     return {"tokens": tokens, "utterances": utterances, "seed": seed,
             "tiny": tiny, "rungs": results}
 
