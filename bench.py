@@ -162,15 +162,25 @@ def run_single(rt, tokens: int, first_lookahead=None, iters: int = 1) -> dict:
 def run_concurrent(rt, tokens: int, streams: int,
                    use_native: bool = False,
                    pipeline_depth: int = 2, iters: int = 1,
-                   token_list=None, tick_profile: bool = False) -> dict:
+                   token_list=None, tick_profile: bool = False,
+                   steps_override=None) -> dict:
 
     import numpy as np
 
     from tts_inference_tpu import protocol as P
     from tts_inference_tpu.engine.scheduler import Scheduler, TTSRequest
 
+    cfg = rt.config
+    if steps_override:
+        # one-boot sweep support: a fresh Scheduler (new EngineCore over
+        # the same device params) with a different decode_steps_per_call —
+        # boot cost is paid once per PROCESS, not per config
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
+            cfg.engine, decode_steps_per_call=int(steps_override)))
     sched = Scheduler(
-        rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
+        rt.engine.core.params, cfg, rt.vocoder, rt.tokenizer,
         mesh=rt.mesh, use_native=use_native,
     )
     sched.pipeline_depth = pipeline_depth
@@ -349,6 +359,11 @@ def main() -> int:
                          "prefill buckets — the production tokenizer path; "
                          "a real prompt lands in the 32 bucket instead of "
                          "the 128 one byte-fallback ids force (TTFA)")
+    ap.add_argument("--sweep", default=None,
+                    help="concurrent mode: comma-separated steps[:depth] "
+                         "configs measured in ONE boot (e.g. "
+                         "'14:2,21:2,28:3'); per-config JSON to stderr, "
+                         "best to stdout")
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
     if args.virtual_devices:
@@ -482,6 +497,33 @@ def main() -> int:
             "value": round(warm["rtf"], 4),
             "unit": "x_realtime",
             "vs_baseline": round(warm["rtf"] / BASELINE_RTF, 4),
+        }
+    elif args.sweep:
+        # one-boot (steps, depth) sweep — the dispatch-campaign tool: each
+        # config gets a fresh Scheduler over the same booted runtime
+        streams = args.streams
+        best = None
+        for spec in args.sweep.split(","):
+            st, _, dp = spec.partition(":")
+            st, dp = int(st), int(dp or args.pipeline_depth)
+            warm = run_concurrent(
+                rt, args.tokens, streams, args.native_protocol, dp,
+                args.iters, tick_profile=args.tick_profile,
+                steps_override=st,
+            )
+            row = {"steps": st, "depth": dp,
+                   "aggregate_rtf": round(warm["aggregate_rtf"], 3),
+                   "ttfa_p95_ms": round(warm.get("ttfa_p95_ms", 0), 1)}
+            print(json.dumps({"sweep": row}), file=sys.stderr, flush=True)
+            if best is None or warm["aggregate_rtf"] > best[0]:
+                best = (warm["aggregate_rtf"], row, warm)
+        warm = best[2]
+        result = {
+            "metric": (f"aggregate_streaming_rtf_{streams}streams_sweep"
+                       f"_s{best[1]['steps']}d{best[1]['depth']}"),
+            "value": round(best[0], 4),
+            "unit": "x_realtime",
+            "vs_baseline": round(best[0] / BASELINE_RTF, 4),
         }
     else:
         streams = 2 if args.smoke else args.streams
