@@ -160,6 +160,7 @@ def test_reference_twin_equals_dequantized_dense():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_model_paged_int4_close_to_fp(params):
     """Bounded-loss check: int4 KV logits track the fp paged path under
     TEACHER FORCING (both paths see identical input tokens — greedy

@@ -34,6 +34,7 @@ def wait_health(port, timeout=240):
     return False
 
 
+@pytest.mark.slow
 def test_launcher_serves_and_drains(tmp_path):
     port = free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")
@@ -74,6 +75,7 @@ def test_launcher_serves_and_drains(tmp_path):
             proc.kill()
 
 
+@pytest.mark.slow
 def test_launcher_replicas_behind_router(tmp_path):
     """--replicas 2: two tiny servers + front router; generate through the
     router, failover after a replica is killed, supervisor restarts it."""
@@ -129,6 +131,7 @@ def test_launcher_replicas_behind_router(tmp_path):
             proc.kill()
 
 
+@pytest.mark.slow
 def test_launcher_restarts_crashed_server(tmp_path):
     port = free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONUNBUFFERED="1")

@@ -215,6 +215,7 @@ def test_int8_quantized_forward_close(pair):
     assert corr > 0.99, corr
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_close_to_fp(pair):
     """int8 KV cache: prefill+decode logits stay close to the fp cache
     (per-token-head scales), and generation runs end to end."""

@@ -134,8 +134,15 @@ def test_unregistered_array_falls_back_to_value():
 
     tab = LS._HandleTable()
     enc = LS._encode(tab, (jnp.full(3, 2.5),))
-    assert isinstance(enc[0], np.ndarray)
-    np.testing.assert_allclose(enc[0], 2.5)
+    # shipped as a _JnpVal marker (numpy payload) so the follower rebuilds
+    # a jax array — pjit in_shardings reject raw numpy operands
+    assert isinstance(enc[0], LS._JnpVal)
+    assert isinstance(enc[0].val, np.ndarray)
+    np.testing.assert_allclose(enc[0].val, 2.5)
+    dec = LS._decode(LS._HandleTable(), enc)
+    import jax
+
+    assert isinstance(dec[0], jax.Array)
 
 
 def test_mirrored_core_replays_on_follower():

@@ -60,6 +60,7 @@ def test_kv_buckets_extend_past_4096():
         (256, 512, 1024, 2048, 4096)
 
 
+@pytest.mark.slow
 def test_generate_2000_frames_end_to_end(rt):
     """The verdict's 'done' bar: ≥2,000 frames through the streaming
     pipeline on one engine — audio length, frame accounting, and O(n)

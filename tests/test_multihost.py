@@ -21,6 +21,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -47,6 +48,7 @@ def _child_env() -> dict:
     return env
 
 
+@pytest.mark.slow
 def test_two_process_mesh_matches_single_process():
     port = _free_port()
     env = _child_env()
@@ -94,6 +96,7 @@ def test_two_process_mesh_matches_single_process():
     np.testing.assert_allclose(digest_mh, digest_ref, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_two_process_lockstep_serving_tick():
     """EngineCore over a process-spanning mesh with replicated token outs:
     every process fetches the full token matrix (lockstep SPMD serving) and

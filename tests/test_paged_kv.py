@@ -190,6 +190,7 @@ def test_sharded_paged_matches(params):
     np.testing.assert_array_equal(a[:2], b[:2])
 
 
+@pytest.mark.slow
 def test_warmup_with_paged(params):
     core = EngineCore(params, CFG, PAGED, eos_id=5)
     info = core.warmup_graphs()

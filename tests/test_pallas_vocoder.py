@@ -61,6 +61,7 @@ def test_fused_unit_valid_masking():
     assert np.all(np.asarray(got)[0, 100:] == 0.0)
 
 
+@pytest.mark.slow
 def test_full_decode_pallas_vs_xla():
     """decode_latent with the fused kernel (forced on, interpret) matches
     the XLA path across all 4 stages × 3 dilations."""
@@ -77,6 +78,7 @@ def test_full_decode_pallas_vs_xla():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_windowed_streaming_stays_bit_exact_with_pallas():
     """The lookahead property: a windowed decode's interior samples equal
     the batch decode bit-for-bit when BOTH run the fused path (position-

@@ -180,6 +180,7 @@ def test_scheduler_with_prefix_cache_matches():
         assert pcm_a == pcm_b
 
 
+@pytest.mark.slow
 def test_warmup_compiles_prefix_graphs(params):
     core = EngineCore(params, CFG, PREFIX, eos_id=5)
     info = core.warmup_graphs()

@@ -147,6 +147,7 @@ def test_hf_tokenizer_roundtrip_and_protocol_safety(ckpt_dirs):
         assert max(ids) < protocol.TOKEN_SOS
 
 
+@pytest.mark.slow
 def test_cli_quantize_then_generate(tmp_path, capsys):
     """Offline quantization runbook: `cli quantize` → pre-quantized orbax
     checkpoint → `cli generate --model-path <it>` boots WITHOUT

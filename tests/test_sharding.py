@@ -70,6 +70,7 @@ def test_sharded_forward_matches_unsharded(mesh, params):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_decode_step_matches(mesh, params):
     """The serving hot loop under TP×DP: prefill + 3 decode steps."""
     rng = np.random.default_rng(1)

@@ -104,6 +104,7 @@ def test_pcm16():
     assert pcm.tolist() == [[-32768, -32767, 0, 16383, 32767, 32767]]
 
 
+@pytest.mark.slow
 def test_decoder_wrapper_buckets(torch_and_jax):
     """Bucket padding must not change the audio AT ALL: the content-length
     mask makes the pad zone behave like a true sequence end, so decodes at
