@@ -30,8 +30,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
+import os
 import sys
 import time
 from typing import Dict, List, Optional
@@ -55,10 +55,12 @@ PROMPTS = [
 ]
 
 
-def _build(cfg_over: Dict, *, tiny: bool, seed: int, tokens: int):
-    """One runtime of the ladder rung. Params are re-init'd from the SAME
-    seed every time, then quantized per rung — the bf16 tree is the common
-    ancestor of every comparison."""
+def _build(cfg_over: Dict, *, tiny: bool, seed: int, tokens: int,
+           model_path: Optional[str] = None,
+           snac_path: Optional[str] = None):
+    """One runtime of the ladder rung. Params come from --model-path when
+    given (the real-weights gate) or are re-init'd from the SAME seed —
+    either way the bf16 tree is the common ancestor of every rung."""
     import dataclasses as dc
 
     from tts_inference_tpu.config import Config, tiny_config
@@ -78,13 +80,12 @@ def _build(cfg_over: Dict, *, tiny: bool, seed: int, tokens: int):
         paged_kv=bool(cfg_over.get("kv_int4")),   # int4 KV requires paged
     )
     cfg = dc.replace(cfg, engine=eng)
-    import os
-
     if cfg_over.get("group"):
         os.environ["TTS_INT4_GROUP"] = str(cfg_over["group"])
     try:
         rt = Runtime.create(
             cfg, seed=seed, warmup=False,
+            model_path=model_path, snac_path=snac_path,
             quantize=bool(cfg_over.get("quantize")),
             weight_bits=int(cfg_over.get("weight_bits", 8)),
         )
@@ -159,8 +160,12 @@ def _token_metrics(ref: List[int], got: List[int]) -> Dict[str, float]:
     }
 
 
-def _tf_logits(rt, token_seq: List[int]) -> Optional[np.ndarray]:
-    """Prefill logits for a fixed token sequence (teacher forcing)."""
+def _tf_logits(rt, token_seq: List[int],
+               n_positions: int = 24) -> Optional[np.ndarray]:
+    """Teacher-forced logits at `n_positions` prefix lengths of a fixed
+    token sequence → (n_positions, V). prefill returns final-position
+    logits; varying plen under ONE padded shape samples many positions
+    without recompiling."""
     import jax.numpy as jnp
 
     from tts_inference_tpu.models import llama
@@ -169,11 +174,16 @@ def _tf_logits(rt, token_seq: List[int]) -> Optional[np.ndarray]:
     if t < 8:
         return None
     toks = jnp.asarray(np.asarray(token_seq, np.int32)[None, :])
-    plen = jnp.asarray([t], jnp.int32)
     cfg = rt.config.model
-    cache = llama.init_kv_cache(cfg, 1, ((t + 127) // 128) * 128)
-    lg, _ = llama.prefill(rt.engine.core.params, cfg, toks, plen, cache)
-    return np.asarray(lg, np.float32)
+    params = rt.engine.core.params
+    lens = sorted({int(x) for x in np.linspace(8, t, n_positions)})
+    rows = []
+    for ln in lens:
+        cache = llama.init_kv_cache(cfg, 1, ((t + 127) // 128) * 128)
+        lg, _ = llama.prefill(params, cfg, toks,
+                              jnp.asarray([ln], jnp.int32), cache)
+        rows.append(np.asarray(lg, np.float32).reshape(-1))
+    return np.stack(rows)
 
 
 def _teacher_forced(lg_q: Optional[np.ndarray],
@@ -183,59 +193,98 @@ def _teacher_forced(lg_q: Optional[np.ndarray],
     full-geometry runtimes do not co-fit in HBM)."""
     if lg_q is None or lg_r is None:
         return {}
-    if lg_q.ndim == 3:      # (1, T, V): per-position logits
-        agree = float((lg_q[0].argmax(-1) == lg_r[0].argmax(-1)).mean())
-    else:                   # (1, V): final-position logits only
-        agree = float(lg_q[0].argmax() == lg_r[0].argmax())
+    agree = float((lg_q.argmax(-1) == lg_r.argmax(-1)).mean())
     rms = float(np.sqrt(np.mean((lg_q - lg_r) ** 2))
                 / (np.sqrt(np.mean(lg_r ** 2)) + 1e-9))
-    return {"tf_argmax_agree": agree, "tf_logit_rel_rms": rms}
+    return {"tf_argmax_agree": agree, "tf_logit_rel_rms": rms,
+            "tf_positions": int(lg_q.shape[0])}
 
 
-def run_ladder(*, tiny: bool, tokens: int, utterances: int, seed: int,
-               rungs=LADDER) -> Dict:
+def run_rung(name: str, over: Dict, *, tiny: bool, tokens: int,
+             utterances: int, seed: int, ref_path: str,
+             model_path: Optional[str] = None,
+             snac_path: Optional[str] = None) -> Dict:
+    """One rung end-to-end. bf16 writes the reference npz (tokens, waves,
+    teacher-forcing logits); other rungs read it. Meant to run in its OWN
+    process per rung — freeing a full-geometry runtime in-process is not
+    reliable (HBM fragmentation OOM'd the next rung's quantize, measured),
+    and process isolation is exact."""
     prompts = (PROMPTS * ((utterances + len(PROMPTS) - 1) // len(PROMPTS))
                )[:utterances]
-    results: Dict[str, dict] = {}
-    ref_tokens: List[List[int]] = []
-    ref_waves: List[np.ndarray] = []
-    ref_logits: Optional[np.ndarray] = None
-    for name, over in rungs:
-        t0 = time.perf_counter()
-        rt = _build(over, tiny=tiny, seed=seed, tokens=tokens)
-        per_utt = []
+    t0 = time.perf_counter()
+    rt = _build(over, tiny=tiny, seed=seed, tokens=tokens,
+                model_path=model_path, snac_path=snac_path)
+    per_utt = []
+    if name == "bf16":
+        ref = {}
         for i, text in enumerate(prompts):
             tok = _gen_tokens(rt, text, tokens, seed=seed + i)
             wav = _vocode(rt, tok, noise_seed=seed + i)
-            if name == "bf16":
-                ref_tokens.append(tok)
-                ref_waves.append(wav)
-                per_utt.append({"tokens": len(tok),
-                                "audio_s": len(wav) / 24000.0})
-            else:
-                m = _wave_metrics(ref_waves[i], wav)
-                m.update(_token_metrics(ref_tokens[i], tok))
-                per_utt.append(m)
-        entry: dict = {"utterances": per_utt,
-                       "build_s": round(time.perf_counter() - t0, 1)}
-        if name == "bf16":
-            # cache teacher-forcing logits as NUMPY and free the runtime —
-            # two full-geometry runtimes do not co-fit in HBM
-            ref_logits = _tf_logits(rt, ref_tokens[0])
-        else:
-            entry.update(_teacher_forced(
-                _tf_logits(rt, ref_tokens[0]), ref_logits))
-            # aggregate over utterances
-            for k in ("mse", "max_diff", "corr", "token_match_frac"):
-                entry[k] = round(float(np.median(
-                    [u[k] for u in per_utt])), 6)
-        results[name] = entry
-        print(f"[ladder] {name}: {json.dumps({k: v for k, v in entry.items() if k != 'utterances'})}",
-              file=sys.stderr, flush=True)
-        del rt
-        import gc
+            ref[f"tokens_{i}"] = np.asarray(tok, np.int64)
+            ref[f"wave_{i}"] = wav
+            per_utt.append({"tokens": len(tok),
+                            "audio_s": len(wav) / 24000.0})
+        ref["tf_logits"] = _tf_logits(rt, list(ref["tokens_0"]))
+        np.savez(ref_path, **ref)
+        return {"utterances": per_utt,
+                "build_s": round(time.perf_counter() - t0, 1)}
+    ref = np.load(ref_path)
+    for i, text in enumerate(prompts):
+        tok = _gen_tokens(rt, text, tokens, seed=seed + i)
+        wav = _vocode(rt, tok, noise_seed=seed + i)
+        m = _wave_metrics(ref[f"wave_{i}"], wav)
+        m.update(_token_metrics([int(t) for t in ref[f"tokens_{i}"]], tok))
+        per_utt.append(m)
+    entry: dict = {"utterances": per_utt,
+                   "build_s": round(time.perf_counter() - t0, 1)}
+    entry.update(_teacher_forced(
+        _tf_logits(rt, [int(t) for t in ref["tokens_0"]]),
+        ref["tf_logits"]))
+    for k in ("mse", "max_diff", "corr", "token_match_frac"):
+        entry[k] = round(float(np.median([u[k] for u in per_utt])), 6)
+    return entry
 
-        gc.collect()
+
+def run_ladder(*, tiny: bool, tokens: int, utterances: int, seed: int,
+               rungs=LADDER, model_path: Optional[str] = None,
+               snac_path: Optional[str] = None,
+               subprocess_rungs: bool = False) -> Dict:
+    import tempfile
+
+    results: Dict[str, dict] = {}
+    ref_path = os.path.join(tempfile.mkdtemp(prefix="quant_ladder_"),
+                            "ref.npz")
+    for name, over in rungs:
+        if subprocess_rungs:
+            import subprocess as sp
+
+            cmd = [sys.executable, "-m",
+                   "tts_inference_tpu.tools.quant_ladder",
+                   "--rung", name, "--ref-path", ref_path,
+                   "--tokens", str(tokens),
+                   "--utterances", str(utterances), "--seed", str(seed)]
+            if tiny:
+                cmd.append("--tiny")
+            else:
+                cmd.append("--full-geometry")
+            if model_path:
+                cmd += ["--model-path", model_path]
+            if snac_path:
+                cmd += ["--snac-path", snac_path]
+            r = sp.run(cmd, capture_output=True, text=True)
+            if r.returncode != 0:
+                entry = {"error": r.stderr[-2000:]}
+            else:
+                entry = json.loads(r.stdout.strip().splitlines()[-1])
+        else:
+            entry = run_rung(name, over, tiny=tiny, tokens=tokens,
+                             utterances=utterances, seed=seed,
+                             ref_path=ref_path, model_path=model_path,
+                             snac_path=snac_path)
+        results[name] = entry
+        print(f"[ladder] {name}: "
+              f"{json.dumps({k: v for k, v in entry.items() if k != 'utterances'})}",
+              file=sys.stderr, flush=True)
     return {"tokens": tokens, "utterances": utterances, "seed": seed,
             "tiny": tiny, "rungs": results}
 
@@ -251,18 +300,37 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip", default="",
                     help="comma-separated rung names to skip")
+    ap.add_argument("--model-path", default=None,
+                    help="real checkpoint dir — the production fidelity "
+                         "gate MIGRATION.md's int4 guidance rests on")
+    ap.add_argument("--snac-path", default=None)
+    ap.add_argument("--rung", default=None,
+                    help="internal: run ONE rung in this process")
+    ap.add_argument("--ref-path", default=None,
+                    help="internal: bf16 reference npz path")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    tiny = args.tiny or not args.full_geometry
+    tiny = args.tiny or not (args.full_geometry or args.model_path)
+    if args.rung:
+        over = dict(LADDER)[args.rung]
+        entry = run_rung(args.rung, over, tiny=tiny, tokens=args.tokens,
+                         utterances=args.utterances, seed=args.seed,
+                         ref_path=args.ref_path,
+                         model_path=args.model_path,
+                         snac_path=args.snac_path)
+        print(json.dumps(entry, default=str))
+        return 0
     skip = {s for s in args.skip.split(",") if s}
     rungs = tuple((n, o) for n, o in LADDER if n not in skip)
     out = run_ladder(tiny=tiny, tokens=args.tokens,
                      utterances=args.utterances, seed=args.seed,
-                     rungs=rungs)
+                     rungs=rungs, model_path=args.model_path,
+                     snac_path=args.snac_path,
+                     subprocess_rungs=not tiny)
     js = json.dumps(out, indent=2, default=str)
     if args.out:
         with open(args.out, "w") as f:
