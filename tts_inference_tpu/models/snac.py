@@ -166,6 +166,15 @@ def _winit(key, shape, scale=None):
     return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
 
 
+def init_snac_params_fast(key: jax.Array, cfg: SnacConfig) -> Params:
+    """init_snac_params under ONE jit. Eager init issues ~200 tiny
+    jax.random dispatches, each compiling its own micro-graph — 557 s of
+    a 597 s engine boot over the remote-compile tunnel (PERF.md round-4
+    boot anatomy). One traced graph = one compile + one dispatch, with
+    bit-identical values."""
+    return jax.jit(init_snac_params, static_argnums=(1,))(key, cfg)
+
+
 def init_snac_params(key: jax.Array, cfg: SnacConfig) -> Params:
     """Random init with the exact tree structure of a loaded checkpoint."""
     keys = iter(jax.random.split(key, 256))

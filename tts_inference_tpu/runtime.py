@@ -127,9 +127,12 @@ class Runtime:
                 )
             config = dataclasses.replace(config, model=model_cfg)
         else:
-            params = llama.init_llama_params(
-                jax.random.PRNGKey(seed), config.model
-            )
+            # one jit around the whole init: eager per-tensor jax.random
+            # calls each compile a micro-graph over the remote tunnel
+            # (PERF.md round-4 boot anatomy — same fix as the vocoder's)
+            params = jax.jit(
+                llama.init_llama_params, static_argnums=(1,)
+            )(jax.random.PRNGKey(seed), config.model)
         if quantize:
             from tts_inference_tpu.models.quant import quantize_llama_params
 
@@ -153,7 +156,7 @@ class Runtime:
             )
             config = dataclasses.replace(config, snac=snac_cfg)
         else:
-            vparams = snac.init_snac_params(
+            vparams = snac.init_snac_params_fast(
                 jax.random.PRNGKey(seed + 1), config.snac
             )
         vocoder = snac.SnacDecoder(vparams, config.snac)
