@@ -37,12 +37,13 @@ def build_runtime(smoke: bool, quantize: bool = False,
                   kv_pool_tokens=None, pallas_attention: bool = False,
                   first_lookahead=None, max_output: int = 2048,
                   tokenizer_path=None, prefill_buckets=(128,),
-                  qos: dict | None = None, weight_bits: int = 8):
+                  qos: dict | None = None, weight_bits: int = 8,
+                  vocoder_bf16: bool = False):
     import dataclasses
 
     from tts_inference_tpu.config import (
-        Config, EngineConfig, MeshConfig, ModelConfig, StreamConfig,
-        extended_kv_buckets, tiny_config,
+        Config, EngineConfig, MeshConfig, ModelConfig, SnacConfig,
+        StreamConfig, extended_kv_buckets, tiny_config,
     )
     from tts_inference_tpu.runtime import Runtime
 
@@ -84,6 +85,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
                             first_chunk_frames=1,
                             lookahead_frames=3, left_context_frames=6,
                             first_chunk_lookahead=first_lookahead),
+        snac=SnacConfig(dtype="bfloat16" if vocoder_bf16 else "float32"),
         mesh=mesh_cfg,
     )
     return Runtime.create(cfg, warmup=False, quantize=quantize,
@@ -369,6 +371,9 @@ def main() -> int:
                          "prefill buckets — the production tokenizer path; "
                          "a real prompt lands in the 32 bucket instead of "
                          "the 128 one byte-fallback ids force (TTFA)")
+    ap.add_argument("--vocoder-bf16", action="store_true",
+                    help="SNAC conv stack in bfloat16 (PERF.md round-4 "
+                         "vocoder floor)")
     ap.add_argument("--chunk-frames", type=int, default=4,
                     help="steady-state frames per vocode chunk (bigger = "
                          "less windowed-redecode overhead, coarser cadence)")
@@ -472,7 +477,8 @@ def main() -> int:
                        first_lookahead=args.first_lookahead,
                        max_output=max_output, tokenizer_path=tokenizer_path,
                        prefill_buckets=prefill_buckets, qos=qos_cfg,
-                       weight_bits=args.weight_bits)
+                       weight_bits=args.weight_bits,
+                       vocoder_bf16=args.vocoder_bf16)
     # boot anatomy to stderr (PERF.md boot-budget rows; the JSON contract
     # on stdout stays one line)
     print(json.dumps({

@@ -182,3 +182,76 @@ def test_decode_frames_batch_matches_solo(torch_and_jax):
     )
     for got, want in zip(outs, solos):
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_bf16_compute_dtype(torch_and_jax):
+    """cfg.dtype='bfloat16' (the 64-slot throughput option — PERF.md r4):
+
+    - PCM stays float32 at the API boundary
+    - bf16 audio tracks the f32 decode closely (corr, scale)
+    - windowed streaming is bit-exact vs batch WITHIN the bf16 path —
+      the exactness invariant is per-dtype, not vs f32
+    """
+    import dataclasses
+
+    _, params = torch_and_jax
+    rng = np.random.default_rng(11)
+    c = rand_codes(rng, TINY, 12)
+    l1, l2, l3 = c[0][0], c[1][0], c[2][0]
+
+    dec32 = jsnac.SnacDecoder(params, TINY)
+    cfg16 = dataclasses.replace(TINY, dtype="bfloat16")
+    dec16 = jsnac.SnacDecoder(params, cfg16)
+
+    a32 = dec32.decode_frames(l1, l2, l3, noise_seed=5)
+    a16 = dec16.decode_frames(l1, l2, l3, noise_seed=5)
+    assert a16.dtype == np.float32
+    assert a16.shape == a32.shape
+    denom = np.linalg.norm(a32) * np.linalg.norm(a16)
+    corr = float(np.dot(a32, a16) / max(denom, 1e-12))
+    assert corr > 0.99, f"bf16/f32 corr {corr}"
+    # bf16 error should be small relative to signal (random tiny weights
+    # are the worst case; real checkpoints gate via tools/audio_fidelity)
+    rel = np.linalg.norm(a32 - a16) / max(np.linalg.norm(a32), 1e-12)
+    assert rel < 0.15, f"bf16 rel err {rel}"
+
+    # windowed == batch bit-exactness must hold inside the bf16 path
+    from tts_inference_tpu.config import StreamConfig
+    from tts_inference_tpu.streaming.lookahead import (
+        LookaheadStreamingDecoder,
+    )
+
+    # interleave back to the wire layout (protocol position offsets added;
+    # deinterleave_frames subtracts them)
+    from tts_inference_tpu import protocol
+
+    frames = []
+    for f in range(12):
+        raw = [
+            l1[f], l2[2 * f], l3[4 * f], l3[4 * f + 1],
+            l2[2 * f + 1], l3[4 * f + 2], l3[4 * f + 3],
+        ]
+        frames.append([int(v) + int(o) for v, o in
+                       zip(raw, protocol.POSITION_OFFSETS)])
+    flat = np.asarray(frames, np.int32).reshape(-1)
+    back = protocol.deinterleave_frames(flat)
+    np.testing.assert_array_equal(back[0], l1)
+    np.testing.assert_array_equal(back[1], l2)
+    np.testing.assert_array_equal(back[2], l3)
+    sd = LookaheadStreamingDecoder(
+        dec16, StreamConfig(frames_per_chunk=2, first_chunk_frames=1,
+                            lookahead_frames=3, left_context_frames=6),
+        noise_seed=5,
+    )
+    sd.feed(flat)
+    chunks = []
+    while True:
+        out = sd.poll()
+        if out is None:
+            break
+        chunks.append(out)
+    fl = sd.flush()
+    if fl is not None:
+        chunks.append(fl)
+    streamed = np.concatenate(chunks)
+    np.testing.assert_array_equal(streamed, a16)

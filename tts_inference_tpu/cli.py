@@ -57,6 +57,12 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
                         "tables; capacity-gated admission)")
     p.add_argument("--kv-pool-tokens", type=int, default=None,
                    help="paged KV pool size in tokens")
+    p.add_argument("--vocoder-bf16", action="store_true",
+                   help="run the SNAC conv stack in bfloat16 (f32 "
+                        "accumulate, f32 PCM out): ~2x the vocoder's HBM/"
+                        "MXU budget for the throughput regimes; windowed "
+                        "streaming stays bit-exact within the bf16 path — "
+                        "gate fidelity vs f32 with tools/audio_fidelity.py")
     p.add_argument("--kv-block-size", type=int, default=None,
                    help="paged KV block size (tokens/block; must divide "
                         "max_seq_len)")
@@ -145,6 +151,10 @@ def _build_runtime(args, mesh=None):
     if eng_over:
         cfg = dataclasses.replace(
             cfg, engine=dataclasses.replace(cfg.engine, **eng_over)
+        )
+    if getattr(args, "vocoder_bf16", False):
+        cfg = dataclasses.replace(
+            cfg, snac=dataclasses.replace(cfg.snac, dtype="bfloat16")
         )
     if not getattr(args, "kv_buckets", None):
         # long-audio engines (e.g. the reference's 12,000-output-token

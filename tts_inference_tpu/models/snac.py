@@ -388,14 +388,18 @@ def decode_latent(
                 jnp.asarray(latent_offset, jnp.uint32) * jnp.uint32(up_total),
                 x.shape[1], x.shape[0],
             )
-            x = _mask_tail(x + noise * h, valid)
+            # noise is generated in f32 (Box–Muller needs the mantissa);
+            # cast the product so a bf16 compute path stays bf16 instead
+            # of silently promoting every later conv to f32
+            x = _mask_tail(x + (noise * h).astype(x.dtype), valid)
         for dil, rp in zip((1, 3, 9), bp["res"]):
             x = _residual_unit(x, rp, dil, groups, valid,
                                use_pallas=use_pallas)
 
     x = snake(x, dp["out_alpha"])
     x = conv1d(x, dp["out_conv"]["w"], dp["out_conv"]["b"], padding=3)
-    return jnp.tanh(x)[..., 0]
+    # PCM contract is float32 regardless of the compute dtype
+    return jnp.tanh(x)[..., 0].astype(jnp.float32)
 
 
 def decode_codes(
@@ -436,6 +440,20 @@ class SnacDecoder:
     use_noise: Optional[bool] = None
 
     def __post_init__(self):
+        # cfg.dtype is the COMPUTE (and storage) dtype of the conv stack.
+        # bf16 halves HBM traffic and doubles MXU rate on the decoder's
+        # small-channel convs (the 64-slot tick is ~45% vocoder — PERF.md
+        # round-4 floor analysis); conv accumulation stays f32 on TPU and
+        # the PCM output is cast back to f32. Casting ONCE here (not in
+        # the graph) keeps the weights bf16 in HBM.
+        if self.cfg.dtype != "float32":
+            dt = {"bfloat16": jnp.bfloat16,
+                  "float16": jnp.float16}[self.cfg.dtype]
+            self.params = jax.tree.map(
+                lambda a: a.astype(dt)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                self.params,
+            )
         self._decode = jax.jit(
             partial(decode_codes, use_noise=self.use_noise),
             static_argnums=(1,),
