@@ -281,6 +281,101 @@ class ReplicaLauncher:
         return 0
 
 
+class LockstepLauncher:
+    """Supervise a lockstep multi-host serving group (SURVEY §5.8 DCN;
+    `cli serve --coordinator`). SPMD makes the group one failure domain:
+    if ANY member exits or process 0's /health fails, every member is
+    drained and the WHOLE group respawns with backoff — a partial group
+    can never complete a collective, and the members are built to exit on
+    their own (coordinator rc 13 on LockstepPeerLost, follower rc 1 on
+    channel loss, rc 17 from the collective watchdog), so group restart is
+    the only correct supervision policy. Single-host form (one host's
+    processes); multi-host deployments run one of these per host with the
+    same --coordinator address."""
+
+    def __init__(self, args, serve_args):
+        self.args = args
+        self.serve_args = serve_args
+        self.stopping = False
+        self.restarts = 0
+        n = args.lockstep_processes
+        coord = f"127.0.0.1:{args.coordinator_port}"
+        self.children = []
+        for pid in range(n):
+            cmd = [
+                sys.executable, "-m", "tts_inference_tpu.cli", "serve",
+                "--coordinator", coord, "--num-processes", str(n),
+                "--process-id", str(pid),
+                "--lockstep-port", str(args.lockstep_port),
+                *serve_args,
+            ]
+            if pid == 0:
+                cmd += ["--host", args.host, "--port", str(args.port)]
+            self.children.append(_Managed(
+                f"lockstep{pid}", cmd,
+                f"http://127.0.0.1:{args.port}/health" if pid == 0 else "",
+                ready_timeout_s=args.ready_timeout_s,
+            ))
+
+    def _spawn_all(self) -> None:
+        for c in self.children:
+            c.spawn()
+
+    def _drain_all(self) -> None:
+        # coordinator first: its teardown sends the followers a clean stop
+        for c in self.children:
+            c.drain(self.args.drain_s)
+
+    def run(self) -> int:
+        def on_term(signum, frame):
+            self.stopping = True
+
+        signal.signal(signal.SIGTERM, on_term)
+        signal.signal(signal.SIGINT, on_term)
+        backoff = 1.0
+        self._spawn_all()
+        head = self.children[0]
+        try:
+            while not self.stopping:
+                time.sleep(self.args.health_interval)
+                now = time.monotonic()
+                bad = None
+                for c in self.children:
+                    if not c.alive():
+                        bad = f"{c.name} exited rc={c.proc.returncode}"
+                        break
+                if bad is None and head.health_url:
+                    if http_ok(head.health_url):
+                        head.ready = True
+                        head.misses = 0
+                        backoff = 1.0
+                    elif not head.ready:
+                        if now >= head.ready_deadline:
+                            bad = "group never became ready"
+                    else:
+                        head.misses += 1
+                        if head.misses >= self.args.health_misses:
+                            bad = "coordinator health failing"
+                if bad is None:
+                    continue
+                print(f"[launch] lockstep group unhealthy ({bad}) — "
+                      f"group restart in {backoff:.0f}s", flush=True)
+                self._drain_all()
+                self.restarts += 1
+                if (self.args.max_restarts is not None
+                        and self.restarts > self.args.max_restarts):
+                    print("[launch] restart limit reached", flush=True)
+                    return 1
+                time.sleep(backoff)
+                backoff = min(backoff * 2, 60.0)
+                if not self.stopping:
+                    self._spawn_all()
+        finally:
+            self._drain_all()
+            print(json.dumps({"group_restarts": self.restarts}), flush=True)
+        return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         description="warm-lifecycle supervisor for the TTS server "
@@ -301,6 +396,16 @@ def main(argv=None) -> int:
                     help="N serving replicas (ports port+1..port+N) behind "
                          "a deploy/router front on --port (scale-out "
                          "serving, SURVEY.md §5.8)")
+    ap.add_argument("--lockstep-processes", type=int, default=0,
+                    help="supervise an N-process lockstep serving group "
+                         "(cli serve --coordinator): one failure domain, "
+                         "any member loss restarts the whole group")
+    ap.add_argument("--coordinator-port", type=int, default=12355,
+                    help="jax.distributed coordinator port for --lockstep-"
+                         "processes")
+    ap.add_argument("--lockstep-port", type=int, default=18765,
+                    help="mirrored-call side-channel port for --lockstep-"
+                         "processes")
     argv = list(sys.argv[1:] if argv is None else argv)
     if "--" in argv:
         i = argv.index("--")
@@ -308,6 +413,8 @@ def main(argv=None) -> int:
     else:
         own, serve_args = argv, []
     args = ap.parse_args(own)
+    if args.lockstep_processes >= 2:
+        return LockstepLauncher(args, serve_args).run()
     if args.replicas > 1:
         return ReplicaLauncher(args, serve_args).run()
     return Launcher(args, serve_args).run()

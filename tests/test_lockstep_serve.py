@@ -205,6 +205,111 @@ def test_mirrored_core_replays_on_follower():
     np.testing.assert_array_equal(core_b._len_bounds, core_c._len_bounds)
 
 
+# ---- failure semantics (VERDICT r4 #3) -----------------------------------
+
+
+def test_mirrored_core_peer_lost_is_fatal_and_sticky():
+    """A dead follower channel turns every mirrored call into an instant
+    LockstepPeerLost — never a hang, never a retry against a dead mesh."""
+    from tts_inference_tpu.parallel import lockstep as LS
+
+    class StubCore:
+        def reset_slots(self):
+            return None
+
+    sa, sb = socket.socketpair()
+    sb.close()                           # the follower died
+    m = LS.MirroredCore(StubCore(), [sa])
+    with pytest.raises(LS.LockstepPeerLost):
+        for _ in range(8):               # first send may land in the buffer
+            m.reset_slots()
+            time.sleep(0.02)
+    assert m.peer_lost is not None
+    t0 = time.perf_counter()
+    with pytest.raises(LS.LockstepPeerLost):
+        m.reset_slots()                  # sticky and instant
+    assert time.perf_counter() - t0 < 1.0
+    with pytest.raises(LS.LockstepPeerLost):
+        m.lockstep_check()
+    m.close()                            # no-op on a failed mirror
+    sa.close()
+
+
+def test_handshake_rejects_strangers_and_wrong_token(monkeypatch):
+    """A port-scanner can't occupy a follower slot; a wrong-token follower
+    fails fast; the real follower still gets in (ADVICE r4 medium)."""
+    import threading
+
+    from tts_inference_tpu.parallel import lockstep as LS
+
+    monkeypatch.setenv("TTS_LOCKSTEP_TOKEN", "sesame")
+    port = free_port()
+    out = {}
+
+    def coord():
+        out["socks"] = LS.coordinator_channel(
+            port, 1, timeout_s=60, bind="127.0.0.1")
+
+    th = threading.Thread(target=coord, daemon=True)
+    th.start()
+    deadline = time.time() + 30
+    stranger = None
+    while time.time() < deadline:
+        try:
+            stranger = socket.create_connection(("127.0.0.1", port),
+                                                timeout=1)
+            break
+        except OSError:
+            time.sleep(0.05)
+    assert stranger is not None
+    stranger.sendall(b"GET / HTTP/1.1\r\n\r\n" + b"\x00" * 40)
+    monkeypatch.setenv("TTS_LOCKSTEP_TOKEN", "wrong")
+    with pytest.raises((RuntimeError, OSError)):
+        LS.follower_channel("127.0.0.1", port, timeout_s=3)
+    monkeypatch.setenv("TTS_LOCKSTEP_TOKEN", "sesame")
+    f = LS.follower_channel("127.0.0.1", port, timeout_s=30)
+    th.join(timeout=30)
+    assert not th.is_alive() and len(out["socks"]) == 1
+    stranger.close()
+    f.close()
+    for c in out["socks"]:
+        c.close()
+
+
+def test_scheduler_fatal_on_lockstep_loss():
+    """LockstepPeerLost in the scheduler loop: every live request errors,
+    new submits are rejected, run_forever exits, on_fatal fires — the
+    reference's engine-core-dies-connections-hang lesson (res.md:69-77)
+    inverted into clean failure."""
+    from tts_inference_tpu.config import SamplingConfig, StreamConfig
+    from tts_inference_tpu.engine.scheduler import Scheduler, TTSRequest
+    from tts_inference_tpu.parallel import lockstep as LS
+    from tts_inference_tpu.runtime import create_tiny_runtime
+
+    rt = create_tiny_runtime(seed=0)
+    sched = Scheduler(rt.engine.core.params, rt.config, rt.vocoder,
+                      rt.tokenizer)
+
+    def bad_step():
+        raise LS.LockstepPeerLost("follower 1 gone")
+
+    sched.step = bad_step
+    req = TTSRequest(text="x", sampling=SamplingConfig(max_tokens=8),
+                     stream_cfg=StreamConfig(), force_speech=True)
+    sched.submit(req)
+    fatal_seen = []
+    sched.on_fatal = fatal_seen.append
+    sched.run_forever()                  # returns (not loops) on fatal
+    kind, payload = req.events.get(timeout=5)
+    assert kind == "error" and "follower 1 gone" in payload
+    assert sched.fatal is not None and fatal_seen
+    req2 = TTSRequest(text="y", sampling=SamplingConfig(max_tokens=8),
+                      stream_cfg=StreamConfig(), force_speech=True)
+    sched.submit(req2)
+    kind2, payload2 = req2.events.get(timeout=5)
+    assert kind2 == "error" and "engine down" in payload2
+
+
 # ---- end-to-end: 2 processes, WS/HTTP serving ---------------------------
 
 
@@ -283,3 +388,79 @@ def test_lockstep_two_process_serving_matches_single(tmp_path):
     assert wav_lockstep == wav_single, \
         "lockstep serving must be bit-identical to single-process"
     assert wav_lockstep2 == wav_single2
+
+
+@pytest.mark.slow
+def test_lockstep_follower_death_fails_clean(tmp_path):
+    """Kill the follower mid-stream: the client must get a clean error
+    (never a hang) and the coordinator must exit NONZERO on its own so a
+    supervisor (deploy/launch.py --lockstep-processes) restarts the whole
+    group (VERDICT r4 #3a)."""
+    import threading
+
+    http_port, coord_port, ls_port = free_port(), free_port(), free_port()
+    env = _env()
+    env["TTS_LOCKSTEP_WATCHDOG_S"] = "20"
+
+    def serve_cmd(pid):
+        return [
+            sys.executable, "-m", "tts_inference_tpu.cli", "serve",
+            "--tiny", "--cpu", "--virtual-devices", "2", "--tp", "2",
+            "--coordinator", f"127.0.0.1:{coord_port}",
+            "--num-processes", "2", "--process-id", str(pid),
+            "--lockstep-port", str(ls_port),
+            "--port", str(http_port),
+        ]
+
+    logs = [open(tmp_path / f"kp{i}.log", "w") for i in range(2)]
+    procs = [
+        subprocess.Popen(serve_cmd(i), cwd=ROOT, env=env,
+                         stdout=logs[i], stderr=subprocess.STDOUT)
+        for i in range(2)
+    ]
+    try:
+        ok = wait_health(http_port, procs)
+        if not ok:
+            for i in range(2):
+                logs[i].flush()
+                print(open(tmp_path / f"kp{i}.log").read()[-4000:])
+        assert ok, "lockstep server never became healthy"
+
+        result: dict = {}
+
+        def gen():
+            long_req = dict(REQ, max_tokens=1024)
+            try:
+                r = urllib.request.Request(
+                    f"http://127.0.0.1:{http_port}/generate",
+                    data=json.dumps(long_req).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(r, timeout=300) as resp:
+                    result["status"] = resp.status
+                    resp.read()
+            except Exception as e:  # noqa: BLE001 — any clean error is a pass
+                result["error"] = repr(e)
+
+        th = threading.Thread(target=gen, daemon=True)
+        th.start()
+        time.sleep(1.0)
+        procs[1].kill()                 # the follower dies mid-stream
+        th.join(timeout=300)
+        assert not th.is_alive(), "client hung after follower death"
+        if result.get("status") == 200:
+            # the request won the race with the kill — the NEXT one must
+            # error cleanly (and trips the fatal path)
+            result.clear()
+            gen()
+        assert "error" in result or result.get("status") != 200, result
+
+        # the coordinator declares the mesh dead and exits nonzero
+        rc0 = procs[0].wait(timeout=300)
+        assert rc0 not in (0, None), f"coordinator rc={rc0}"
+    finally:
+        for i, p in enumerate(procs):
+            if p.poll() is None:
+                p.kill()
+            p.wait()
+            logs[i].close()

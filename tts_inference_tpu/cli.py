@@ -346,14 +346,22 @@ def cmd_serve(args) -> int:
         from tts_inference_tpu.parallel import lockstep as LS
 
         host = args.coordinator.rsplit(":", 1)[0]
-        sock = LS.follower_channel(host, args.lockstep_port)
+        sock = LS.follower_channel(host, args.lockstep_port,
+                                   process_id=args.process_id)
         print(json.dumps({"lockstep_follower": args.process_id,
                           "status": "connected"}), flush=True)
         core = EngineCore(
             rt.engine.core.params, rt.config.model, rt.config.engine,
             eos_id=protocol.TOKEN_EOS, seed=args.seed, mesh=mesh,
         )
-        n = LS.follower_loop(core, sock)
+        try:
+            n = LS.follower_loop(core, sock)
+        except ConnectionError as e:
+            # coordinator died: exit nonzero so a supervisor restarts the
+            # whole lockstep group (deploy/launch.py --lockstep-processes)
+            print(json.dumps({"lockstep_follower": args.process_id,
+                              "error": str(e)}), flush=True)
+            return 1
         print(json.dumps({"lockstep_follower": args.process_id,
                           "replayed_calls": n}), flush=True)
         return 0
@@ -363,8 +371,11 @@ def cmd_serve(args) -> int:
     if args.coordinator:
         from tts_inference_tpu.parallel import lockstep as LS
 
+        # bind the side channel to the coordinator's own (cluster-internal)
+        # interface by default — never 0.0.0.0 unless explicitly asked
+        bind = args.lockstep_bind or args.coordinator.rsplit(":", 1)[0]
         socks = LS.coordinator_channel(
-            args.lockstep_port, args.num_processes - 1
+            args.lockstep_port, args.num_processes - 1, bind=bind
         )
 
         def wrap_core(core):  # noqa: F811
@@ -392,12 +403,12 @@ def cmd_serve(args) -> int:
                   "afterwards)…", flush=True)
             print(scheduler.warmup(), flush=True)
     try:
-        run_app(rt, host=args.host, port=args.port, scheduler=scheduler,
-                lockstep=bool(args.coordinator))
+        rc = run_app(rt, host=args.host, port=args.port, scheduler=scheduler,
+                     lockstep=bool(args.coordinator))
     finally:
         for m in mirror:
             m.close()
-    return 0
+    return rc
 
 
 def main(argv=None) -> int:
@@ -474,6 +485,12 @@ def main(argv=None) -> int:
     s.add_argument("--lockstep-port", type=int, default=18765,
                    help="TCP side-channel port on the coordinator host for "
                         "mirrored EngineCore calls")
+    s.add_argument("--lockstep-bind", default=None,
+                   help="interface the coordinator binds the side channel "
+                        "to (default: the --coordinator host). The channel "
+                        "carries pickled descriptors — keep it on a trusted "
+                        "private network and set TTS_LOCKSTEP_TOKEN on all "
+                        "processes (shared-token handshake)")
     s.set_defaults(fn=cmd_serve)
 
     dv = sub.add_parser("devices", help="device visibility check")

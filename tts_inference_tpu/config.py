@@ -203,6 +203,22 @@ class EngineConfig:
     paged_kv: bool = False
     kv_block_size: int = 128
     kv_pool_tokens: Optional[int] = None
+    # vLLM-style on-demand paged KV (the reference's vLLM PagedAttention
+    # allocation semantics, SURVEY §2.2): reserve only the prefill window
+    # at admission and grow blocks per decode-call window, instead of
+    # holding bucket+max_tokens worst-case for the request's whole life —
+    # a request asking for 2048 max_tokens but emitting 300 no longer
+    # pins ~7x its real KV need. On true pool exhaustion the scheduler
+    # preempts the youngest stream (snapshot sampling chain, free blocks,
+    # requeue; resume = re-prefill prompt+generated + state restore,
+    # bit-identical continuation — tests/test_preemption.py).
+    kv_on_demand: bool = False
+    # prefill buckets a preempted stream may resume through (re-prefill of
+    # prompt + generated-so-far). Kept OUT of prefill_buckets so the fused
+    # admission (bucket × steps × window) warmup matrix doesn't explode;
+    # only the plain prefill graph compiles at these. A stream too long
+    # for the largest resume bucket is not preemptible.
+    resume_buckets: Tuple[int, ...] = (1024, 2048)
     # Sliced LM head: compute decode logits only for rows ≥
     # protocol.HEAD_SLICE_BASE (specials + audio vocab — everything a TTS
     # generation can legitimately emit; the reference's extractor DROPS

@@ -227,6 +227,12 @@ class Scheduler:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._wakeup = threading.Event()
+        # fatal engine loss (e.g. a lockstep follower died — the mesh can
+        # never complete another collective): set once, rejects all new
+        # work, reported by /health, and on_fatal lets the server process
+        # exit nonzero so a supervisor restarts the whole group
+        self.fatal: Optional[str] = None
+        self.on_fatal = None    # callable(msg) — set by serving/app.py
         # fused admission vocode (multi-stream twin of
         # pipeline._first_pcm_fn): the first chunk's extraction + SNAC
         # decode for every admitted slot, chained onto the admission
@@ -318,6 +324,9 @@ class Scheduler:
     # -- public API ---------------------------------------------------------
 
     def submit(self, req: TTSRequest) -> TTSRequest:
+        if self.fatal is not None:
+            req.events.put(("error", f"engine down: {self.fatal}"))
+            return req
         self.pending.put(req)
         self._wakeup.set()
         return req
@@ -373,10 +382,13 @@ class Scheduler:
             )
             np.asarray(fn(
                 toks, jnp.zeros(self.core.batch, jnp.uint32))[0])
-        else:
+        elif n_codes > self.admission_steps + 1:
             self._warn_geo((n_codes, nf, emit),
                            "first chunk exceeds the admission burst "
                            "(raise admission_steps or shrink the chunk)")
+        # (geometry fits but fuse_admission_vocode is off — e.g. forced off
+        # under lockstep serving — no warning: the async vocode worker
+        # covers first chunks by design)
         # from here on, only warmed geometries take the fused path
         self._pcm_warmed = True
         info["warmed_vocode_rows"] = rbs
@@ -994,6 +1006,28 @@ class Scheduler:
                 did_work = self.step()
             except Exception as e:  # noqa: BLE001 — fail requests, keep serving
                 self.fail_all(f"scheduler error: {type(e).__name__}: {e}")
+                if not getattr(e, "lockstep_fatal", False):
+                    # under lockstep, a dead follower can first surface as
+                    # a generic collective abort (gloo timeout) — probe the
+                    # side channel to tell 'transient error' from 'mesh is
+                    # missing a member' (plain EngineCore has no probe)
+                    probe = getattr(self.core, "lockstep_check", None)
+                    if probe is not None:
+                        try:
+                            probe()
+                        except Exception as pe:  # noqa: BLE001
+                            if getattr(pe, "lockstep_fatal", False):
+                                e = pe
+                if getattr(e, "lockstep_fatal", False):
+                    # LockstepPeerLost (parallel/lockstep.py): the multi-
+                    # process mesh is missing a member — no future step can
+                    # succeed. Stop serving and tell the process to exit
+                    # nonzero; the supervisor restarts the whole group.
+                    self.fatal = str(e)
+                    self._stop.set()
+                    if self.on_fatal is not None:
+                        self.on_fatal(self.fatal)
+                    return
                 did_work = True
             now = time.perf_counter()
             if did_work:

@@ -41,7 +41,10 @@ single-process serving exactly.
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import io
+import os
 import pickle
 import socket
 import struct
@@ -51,6 +54,45 @@ from typing import List, Optional, Sequence
 
 _HDR = struct.Struct(">Q")
 _STOP = "__stop__"
+_PING = "__ping__"      # liveness probe — followers ignore it
+_MAGIC = b"TTSLSv1\x00"
+_HELLO = struct.Struct(">8sI32s")   # magic | process_id | hmac(token)
+
+# SECURITY: the side channel carries pickled call descriptors (arbitrary
+# code execution on loads) and user prompt text. The handshake below keeps
+# strangers out of follower slots and rejects coordinators that don't hold
+# the shared token — but the payloads are NOT encrypted. Like
+# jax.distributed's own service, the channel must stay on a trusted
+# private network; bind it to the cluster-internal interface
+# (--lockstep-bind), never a public one.
+
+
+def _token() -> bytes:
+    return os.environ.get("TTS_LOCKSTEP_TOKEN", "").encode()
+
+
+def _hello_mac(token: bytes, process_id: int) -> bytes:
+    return hmac.new(token or b"\x00", _MAGIC + struct.pack(">I", process_id),
+                    hashlib.sha256).digest()
+
+
+def _ack_mac(token: bytes) -> bytes:
+    return hmac.new(token or b"\x00", _MAGIC + b"ack",
+                    hashlib.sha256).digest()
+
+
+class LockstepPeerLost(RuntimeError):
+    """A follower channel died: the multi-process mesh is no longer whole,
+    so NO further mesh computation can ever complete (every collective
+    would block on the missing peer). The reference hit exactly this class
+    of failure — engine-core dies, live connections hang
+    (`res.md:69-77`) — so here it is fatal-by-design: the scheduler drains
+    every live request with a clean error and the serve process exits
+    nonzero for the supervisor (deploy/launch.py --lockstep-processes)
+    to restart the whole group."""
+
+    lockstep_fatal = True   # duck-typed by Scheduler.run_forever (no import
+    #                         cycle: engine/ must not depend on parallel/)
 # mirrored methods: everything that enters a mesh-jitted graph or mutates
 # host state that later mesh-jitted calls depend on (paged allocator,
 # slot length bounds, prefix pool)
@@ -203,6 +245,23 @@ class MirroredCore:
         self._socks = list(follower_socks)
         self._table = _HandleTable()
         self._lock = threading.Lock()
+        self.peer_lost: Optional[str] = None
+
+    def _fail(self, exc: BaseException) -> "LockstepPeerLost":
+        """Mark the mirror broken, tear the channel down, and build the
+        fatal error every subsequent mirrored call re-raises instantly
+        (never re-touching the dead sockets)."""
+        if self.peer_lost is None:
+            self.peer_lost = f"{type(exc).__name__}: {exc}"
+        for s in self._socks:
+            try:
+                s.close()
+            except OSError:
+                pass
+        return LockstepPeerLost(
+            f"lockstep follower lost ({self.peer_lost}); the multi-process "
+            "mesh cannot make progress — restart the group"
+        )
 
     def __getattr__(self, name):
         core = object.__getattribute__(self, "_core")
@@ -212,21 +271,54 @@ class MirroredCore:
 
         def mirrored(*args, **kwargs):
             with self._lock:
-                kwargs.pop("timer", None)   # host-local, not picklable
+                if self.peer_lost is not None:
+                    raise self._fail(RuntimeError(self.peer_lost))
+                # 'timer' (PhaseTimer) is host-local and unpicklable: strip
+                # it from the WIRE copy only — the local dispatch keeps it,
+                # so the coordinator's graph census / phase timings survive
+                wire_kwargs = {k: v for k, v in kwargs.items()
+                               if k != "timer"}
                 desc = pickle.dumps(
                     (name, _encode(self._table, args),
-                     _encode(self._table, kwargs)),
+                     _encode(self._table, wire_kwargs)),
                     protocol=pickle.HIGHEST_PROTOCOL,
                 )
-                for s in self._socks:
-                    _send(s, desc)
+                try:
+                    for s in self._socks:
+                        _send(s, desc)
+                except OSError as e:
+                    raise self._fail(e) from e
                 out = attr(*args, **kwargs)
                 self._table.register_outputs(out)
                 return out
 
         return mirrored
 
+    def lockstep_check(self) -> None:
+        """Probe the follower channel (scheduler error path): a collective
+        abort (gloo timeout) surfaces as a generic XLA error before any
+        channel send fails — this distinguishes 'transient request error'
+        from 'a follower is gone, the mesh is dead'. Two pings with a gap:
+        the first send after a peer death often lands in the TCP buffer
+        (RST arrives in response), only the second raises."""
+        import time
+
+        with self._lock:
+            if self.peer_lost is not None:
+                raise self._fail(RuntimeError(self.peer_lost))
+            desc = pickle.dumps((_PING, (), {}))
+            try:
+                for s in self._socks:
+                    _send(s, desc)
+                time.sleep(0.05)
+                for s in self._socks:
+                    _send(s, desc)
+            except OSError as e:
+                raise self._fail(e) from e
+
     def close(self) -> None:
+        if self.peer_lost is not None:
+            return              # channel already torn down by _fail
         try:
             desc = pickle.dumps((_STOP, (), {}))
             for s in self._socks:
@@ -236,37 +328,132 @@ class MirroredCore:
             pass
 
 
-def follower_loop(core, sock: socket.socket) -> int:
+def follower_loop(core, sock: socket.socket,
+                  watchdog_s: Optional[float] = None) -> int:
     """Replay mirrored calls against this process's EngineCore until the
-    coordinator sends stop or the channel drops. Returns replayed count."""
+    coordinator sends stop. Returns the replayed count on a clean stop;
+    raises ConnectionError if the channel drops (the caller exits nonzero
+    so a supervisor restarts the group).
+
+    Collective watchdog: if the channel hits EOF while a replayed call is
+    still EXECUTING, the cluster lost a peer mid-step — this process may be
+    blocked inside a mesh collective that can never complete. Rather than
+    hang forever (the reference's engine-core-crash failure mode,
+    `res.md:69-77`), a monitor thread gives the in-flight call
+    ``watchdog_s`` (env TTS_LOCKSTEP_WATCHDOG_S, default 120 s) after EOF,
+    then hard-exits the process with rc 17."""
+    import sys
+    import time
+
+    if watchdog_s is None:
+        watchdog_s = float(os.environ.get("TTS_LOCKSTEP_WATCHDOG_S", "120"))
+    state = {"phase": "recv"}
+    done = threading.Event()
+
+    def monitor():
+        import select
+
+        while not done.wait(1.0):
+            if state["phase"] != "call":
+                continue
+            # phase=='call' means the replay thread is NOT in sock.recv —
+            # a MSG_PEEK here is race-free (peek never consumes, and a
+            # concurrent blocking recv can only start after phase flips)
+            try:
+                r, _, _ = select.select([sock], [], [], 0)
+                if not r:
+                    continue
+                if sock.recv(1, socket.MSG_PEEK) != b"":
+                    continue        # next call already queued, not EOF
+            except OSError:
+                pass                # socket died under us — treat as EOF
+            deadline = time.monotonic() + watchdog_s
+            while not done.wait(1.0):
+                if state["phase"] != "call":
+                    return          # call completed; recv will see the EOF
+                if time.monotonic() >= deadline:
+                    print(
+                        "lockstep follower: channel lost with a call "
+                        f"in flight; still blocked after {watchdog_s:.0f}s "
+                        "(peer-starved collective) — exiting",
+                        file=sys.stderr, flush=True,
+                    )
+                    os._exit(17)
+            return
+
+    mon = threading.Thread(target=monitor, daemon=True,
+                           name="lockstep-watchdog")
+    mon.start()
     table = _HandleTable()
     n = 0
-    while True:
-        try:
-            name, args, kwargs = pickle.loads(_recv(sock))
-        except ConnectionError:
-            return n
-        if name == _STOP:
-            return n
-        out = getattr(core, name)(
-            *_decode(table, args), **_decode(table, kwargs)
-        )
-        table.register_outputs(out)
-        n += 1
+    try:
+        while True:
+            state["phase"] = "recv"
+            try:
+                raw = _recv(sock)
+            except ConnectionError as e:
+                raise ConnectionError(
+                    f"lockstep channel lost after {n} calls: {e}") from e
+            name, args, kwargs = pickle.loads(raw)
+            if name == _STOP:
+                return n
+            if name == _PING:
+                continue
+            state["phase"] = "call"
+            out = getattr(core, name)(
+                *_decode(table, args), **_decode(table, kwargs)
+            )
+            table.register_outputs(out)
+            n += 1
+    finally:
+        done.set()
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("handshake: peer closed")
+        buf += chunk
+    return buf
 
 
 def coordinator_channel(port: int, n_followers: int,
-                        timeout_s: float = 300.0) -> List[socket.socket]:
-    """Accept the follower side-channel connections (process 0)."""
+                        timeout_s: float = 300.0,
+                        bind: str = "127.0.0.1") -> List[socket.socket]:
+    """Accept the follower side-channel connections (process 0).
+
+    `bind` defaults to loopback; `cli serve` passes the coordinator's own
+    interface from --coordinator / --lockstep-bind — never 0.0.0.0 unless
+    explicitly requested. Each accepted peer must present the shared-token
+    handshake (TTS_LOCKSTEP_TOKEN) before it can occupy a follower slot;
+    strangers are dropped and accepting continues, so a port-scanner can't
+    wedge the cluster at boot. The coordinator acks with its own token
+    proof so followers never pickle.loads from an impostor."""
+    token = _token()
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-    srv.bind(("0.0.0.0", port))
+    srv.bind((bind, port))
     srv.listen(n_followers)
     srv.settimeout(timeout_s)
     socks = []
+    seen_pids: set = set()
     try:
-        for _ in range(n_followers):
+        while len(socks) < n_followers:
             c, _addr = srv.accept()
+            try:
+                c.settimeout(10.0)  # a stranger must not stall the boot
+                magic, pid, mac = _HELLO.unpack(
+                    _recv_exact(c, _HELLO.size))
+                if magic != _MAGIC or pid in seen_pids or not \
+                        hmac.compare_digest(mac, _hello_mac(token, pid)):
+                    raise ConnectionError("bad handshake")
+                c.sendall(_ack_mac(token))
+            except (ConnectionError, struct.error, OSError):
+                c.close()
+                continue
+            seen_pids.add(pid)
             c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             c.settimeout(None)      # channel blocks for the serve lifetime
             socks.append(c)
@@ -276,17 +463,31 @@ def coordinator_channel(port: int, n_followers: int,
 
 
 def follower_channel(host: str, port: int,
-                     timeout_s: float = 300.0) -> socket.socket:
+                     timeout_s: float = 300.0,
+                     process_id: int = 1) -> socket.socket:
     """Connect a follower to the coordinator side channel (retries until
-    the coordinator finishes its boot and starts listening)."""
+    the coordinator finishes its boot and starts listening). Sends the
+    shared-token hello and verifies the coordinator's ack before returning
+    — a peer that can't prove the token never gets to feed us pickles."""
     import time
 
+    token = _token()
     deadline = time.monotonic() + timeout_s
     while True:
         try:
             s = socket.create_connection((host, port), timeout=5.0)
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            # the connect timeout must NOT survive into the replay loop —
+            s.settimeout(15.0)
+            s.sendall(_HELLO.pack(_MAGIC, process_id,
+                                  _hello_mac(token, process_id)))
+            ack = _recv_exact(s, 32)
+            if not hmac.compare_digest(ack, _ack_mac(token)):
+                s.close()
+                # not OSError: a token mismatch is config error, not a
+                # boot race — fail fast instead of retrying to deadline
+                raise RuntimeError("coordinator failed token proof — "
+                                   "TTS_LOCKSTEP_TOKEN mismatch?")
+            # the handshake timeout must NOT survive into the replay loop —
             # an idle serve legitimately sends nothing for minutes
             s.settimeout(None)
             return s

@@ -266,6 +266,13 @@ class Server:
         })
 
     async def health(self, request: web.Request) -> web.Response:
+        fatal = getattr(self.scheduler, "fatal", None) \
+            if self.scheduler is not None else None
+        if fatal:
+            # engine is unrecoverable (e.g. lockstep follower lost) — tell
+            # the supervisor loudly instead of pretending to be up
+            return web.json_response(
+                {"status": "fatal", "error": fatal}, status=503)
         return web.json_response({"status": "ok", "busy": self.lock.locked()})
 
     async def metrics_endpoint(self, request: web.Request) -> web.Response:
@@ -634,15 +641,29 @@ def create_app(runtime, scheduler=None, lockstep=False) -> web.Application:
 
 
 def run_app(runtime, host: str = "0.0.0.0", port: int = 8000,
-            scheduler=None, lockstep=False) -> None:
+            scheduler=None, lockstep=False) -> int:
+    """Serve until shutdown. Returns 0 on a clean stop; nonzero when the
+    scheduler declared the engine unrecoverable (lockstep follower lost) —
+    the supervisor contract deploy/launch.py restarts groups on."""
+    import asyncio
+
+    loop = asyncio.new_event_loop()
     if scheduler is not None:
+        # a fatal engine loss must take the SERVER down (exit nonzero), not
+        # leave an API up that can only error — stop the serving loop from
+        # the scheduler thread
+        scheduler.on_fatal = lambda msg: loop.call_soon_threadsafe(loop.stop)
         scheduler.start()
     try:
         web.run_app(create_app(runtime, scheduler, lockstep=lockstep),
-                    host=host, port=port)
+                    host=host, port=port, loop=loop)
     finally:
         if scheduler is not None:
             scheduler.stop()
+    if scheduler is not None and scheduler.fatal is not None:
+        print(f"fatal: {scheduler.fatal}", flush=True)
+        return 13
+    return 0
 
 
 TEST_PAGE = """<!doctype html>

@@ -224,7 +224,12 @@ def run_rung(name: str, over: Dict, *, tiny: bool, tokens: int,
             ref[f"wave_{i}"] = wav
             per_utt.append({"tokens": len(tok),
                             "audio_s": len(wav) / 24000.0})
-        ref["tf_logits"] = _tf_logits(rt, list(ref["tokens_0"]))
+        tf = _tf_logits(rt, list(ref["tokens_0"]))
+        if tf is not None:
+            # None would be stored as a pickled object array, which every
+            # later rung's np.load (allow_pickle=False) then chokes on —
+            # omit the key instead and let readers skip teacher-forcing
+            ref["tf_logits"] = tf
         np.savez(ref_path, **ref)
         return {"utterances": per_utt,
                 "build_s": round(time.perf_counter() - t0, 1)}
@@ -237,9 +242,10 @@ def run_rung(name: str, over: Dict, *, tiny: bool, tokens: int,
         per_utt.append(m)
     entry: dict = {"utterances": per_utt,
                    "build_s": round(time.perf_counter() - t0, 1)}
-    entry.update(_teacher_forced(
-        _tf_logits(rt, [int(t) for t in ref["tokens_0"]]),
-        ref["tf_logits"]))
+    if "tf_logits" in ref.files:
+        entry.update(_teacher_forced(
+            _tf_logits(rt, [int(t) for t in ref["tokens_0"]]),
+            ref["tf_logits"]))
     for k in ("mse", "max_diff", "corr", "token_match_frac"):
         entry[k] = round(float(np.median([u[k] for u in per_utt])), 6)
     return entry
@@ -248,7 +254,7 @@ def run_rung(name: str, over: Dict, *, tiny: bool, tokens: int,
 def run_ladder(*, tiny: bool, tokens: int, utterances: int, seed: int,
                rungs=LADDER, model_path: Optional[str] = None,
                snac_path: Optional[str] = None,
-               subprocess_rungs: bool = False) -> Dict:
+               subprocess_rungs: bool = False, cpu: bool = False) -> Dict:
     import tempfile
 
     results: Dict[str, dict] = {}
@@ -267,6 +273,8 @@ def run_ladder(*, tiny: bool, tokens: int, utterances: int, seed: int,
                 cmd.append("--tiny")
             else:
                 cmd.append("--full-geometry")
+            if cpu:
+                cmd.append("--cpu")
             if model_path:
                 cmd += ["--model-path", model_path]
             if snac_path:
@@ -330,7 +338,7 @@ def main(argv=None) -> int:
                      utterances=args.utterances, seed=args.seed,
                      rungs=rungs, model_path=args.model_path,
                      snac_path=args.snac_path,
-                     subprocess_rungs=not tiny)
+                     subprocess_rungs=not tiny, cpu=args.cpu)
     js = json.dumps(out, indent=2, default=str)
     if args.out:
         with open(args.out, "w") as f:

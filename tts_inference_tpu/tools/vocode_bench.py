@@ -13,8 +13,9 @@ pipelines them and the tunnel round-trip amortizes — then block on the
 last output only. Wall / iters = device ms per batched vocode call.
 
 Reference analog: the SNAC decode cost inside the reference's chunk
-loop (`tensorrt_tts/snac_decoder.py` batch decode path); there it rides
-a dedicated CUDA stream, here it shares the single TPU.
+loop (`tensorrt_tts/inference.py:96-112` redistribute_codes → SNAC
+decode); there it rides a dedicated CUDA device, here it shares the
+single TPU with the LM.
 
 Usage:
     python -m tts_inference_tpu.tools.vocode_bench --rows 64 --frames 16
