@@ -38,7 +38,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
                   first_lookahead=None, max_output: int = 2048,
                   tokenizer_path=None, prefill_buckets=(128,),
                   qos: dict | None = None, weight_bits: int = 8,
-                  vocoder_bf16: bool = False):
+                  vocoder_bf16: bool = False, kv_on_demand: bool = False):
     import dataclasses
 
     from tts_inference_tpu.config import (
@@ -73,6 +73,7 @@ def build_runtime(smoke: bool, quantize: bool = False,
             kv_cache_int4=kv_int4,
             prefix_cache=prefix_cache,
             paged_kv=paged_kv,
+            kv_on_demand=kv_on_demand,
             kv_pool_tokens=kv_pool_tokens,
             kv_buckets=extended_kv_buckets(
                 base_eng.kv_buckets, 128 + max_output
@@ -304,7 +305,8 @@ def run_concurrent(rt, tokens: int, streams: int,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=("single", "concurrent", "long", "qos"),
+                    choices=("single", "concurrent", "long", "qos",
+                             "capacity"),
                     default="concurrent")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--streams", type=int, default=8)
@@ -346,6 +348,18 @@ def main() -> int:
                     help="paged/blocked KV cache")
     ap.add_argument("--kv-pool-tokens", type=int, default=None,
                     help="paged KV pool size in tokens")
+    ap.add_argument("--kv-on-demand", action="store_true",
+                    help="vLLM-style on-demand paged-KV growth + preempt-"
+                         "and-resume on exhaustion (requires --paged-kv); "
+                         "admission no longer reserves max_tokens worst-"
+                         "case, so the same pool admits more streams")
+    ap.add_argument("--capacity-points", default="8,16,24,32,40,48,56,64",
+                    help="capacity mode: comma-separated concurrent-stream "
+                         "counts to measure on ONE booted engine")
+    ap.add_argument("--capacity-ttfa-ms", type=float, default=500.0,
+                    help="capacity mode: max acceptable TTFA p95")
+    ap.add_argument("--capacity-gap-ms", type=float, default=500.0,
+                    help="capacity mode: max acceptable inter-chunk gap")
     ap.add_argument("--pallas-attention", action="store_true",
                     help="Pallas decode-attention kernel (with --paged-kv: "
                          "the block-streaming paged kernel)")
@@ -428,6 +442,20 @@ def main() -> int:
                 reserved_short_slots=max(2, args.slots // 8),
                 short_request_tokens=128,
             )
+    if args.mode == "capacity":
+        # the realtime-capacity frontier (VERDICT r4 #1): the production
+        # many-stream geometry — paged int8 KV + on-demand growth — driven
+        # at increasing concurrency on ONE booted engine. The headline is
+        # the PRODUCT number the reference's roadmap asks for ("~5 users
+        # today, scale to ~100", spec.md:133,137-139): max concurrent
+        # streams with per-stream RTF ≥ 1.0, TTFA p95 ≤ 500 ms and no
+        # inter-chunk gap > 500 ms — NOT the batch-throughput record.
+        if args.slots == 8:
+            args.slots = 64
+        args.paged_kv = True
+        args.kv_on_demand = True
+        if not args.kv_int4:
+            args.kv_int8 = True
     if args.mode == "long":
         # the reference's long-audio engine class (12,000 output tokens,
         # hindi_canopy/build_engine.py:61): paged KV is what makes a
@@ -478,7 +506,8 @@ def main() -> int:
                        max_output=max_output, tokenizer_path=tokenizer_path,
                        prefill_buckets=prefill_buckets, qos=qos_cfg,
                        weight_bits=args.weight_bits,
-                       vocoder_bf16=args.vocoder_bf16)
+                       vocoder_bf16=args.vocoder_bf16,
+                       kv_on_demand=args.kv_on_demand)
     # boot anatomy to stderr (PERF.md boot-budget rows; the JSON contract
     # on stdout stays one line)
     print(json.dumps({
@@ -486,7 +515,44 @@ def main() -> int:
         "load_timings": {k: (round(v, 2) if isinstance(v, float) else v)
                          for k, v in rt.load_timings.items()},
     }), file=sys.stderr, flush=True)
-    if args.mode == "long":
+    if args.mode == "capacity":
+        points = sorted({int(x) for x in args.capacity_points.split(",")
+                         if 0 < int(x) <= args.slots})
+        if args.smoke:
+            points = [1, 2]
+        frontier, frontier_row, rows = 0, None, []
+        for n in points:
+            warm = run_concurrent(rt, args.tokens, n, args.native_protocol,
+                                  args.pipeline_depth, args.iters)
+            ok = (warm["per_stream_rtf"] >= 1.0
+                  and warm["ttfa_p95_ms"] <= args.capacity_ttfa_ms
+                  and warm["worst_gap_ms"] <= args.capacity_gap_ms)
+            row = {
+                "streams": n,
+                "per_stream_rtf": round(warm["per_stream_rtf"], 3),
+                "aggregate_rtf": round(warm["aggregate_rtf"], 2),
+                "ttfa_p95_ms": round(warm["ttfa_p95_ms"], 1),
+                "worst_gap_ms": round(warm["worst_gap_ms"], 1),
+                "realtime_ok": ok,
+            }
+            rows.append(row)
+            print(json.dumps({"capacity_point": row}), file=sys.stderr,
+                  flush=True)
+            if ok and n > frontier:
+                frontier, frontier_row = n, dict(row)
+            if warm["per_stream_rtf"] < 0.8:
+                break   # deep past the frontier; higher N only gets worse
+        warm = frontier_row or rows[-1]
+        warm["curve"] = rows
+        # the reference serializes requests behind a lock (max_batch_size=1
+        # engines, SURVEY §2.3) at 1.42x RTF: its realtime capacity is 1
+        result = {
+            "metric": f"capacity_streams_at_realtime_{args.slots}slots",
+            "value": frontier,
+            "unit": "streams",
+            "vs_baseline": float(frontier),
+        }
+    elif args.mode == "long":
         warm = run_concurrent(rt, args.tokens, args.streams,
                               args.native_protocol, args.pipeline_depth,
                               max(1, args.iters - 1))

@@ -57,6 +57,13 @@ def _add_runtime_args(p: argparse.ArgumentParser) -> None:
                         "tables; capacity-gated admission)")
     p.add_argument("--kv-pool-tokens", type=int, default=None,
                    help="paged KV pool size in tokens")
+    p.add_argument("--kv-on-demand", action="store_true",
+                   help="vLLM-style on-demand paged-KV growth (requires "
+                        "--paged-kv): admission reserves only the prefill "
+                        "window; blocks grow per decode call and on pool "
+                        "exhaustion the scheduler preempts the youngest "
+                        "stream and resumes it bit-identically — the same "
+                        "pool admits far more concurrent streams")
     p.add_argument("--vocoder-bf16", action="store_true",
                    help="run the SNAC conv stack in bfloat16 (f32 "
                         "accumulate, f32 PCM out): ~2x the vocoder's HBM/"
@@ -136,6 +143,8 @@ def _build_runtime(args, mesh=None):
         eng_over["paged_kv"] = True
     if getattr(args, "kv_pool_tokens", None):
         eng_over["kv_pool_tokens"] = args.kv_pool_tokens
+    if getattr(args, "kv_on_demand", False):
+        eng_over["kv_on_demand"] = True
     if getattr(args, "kv_block_size", None):
         eng_over["kv_block_size"] = args.kv_block_size
     if getattr(args, "admission_policy", None):

@@ -99,6 +99,7 @@ class EngineCore:
         self.batch = batch_size or engine_cfg.max_batch_size
         self.max_seq = engine_cfg.max_seq_len
         self.mesh = mesh
+        self._snap_fn = None    # lazy jitted replicated-row gather (mesh)
         # Sliced LM head (protocol.HEAD_SLICE_BASE): every legitimately
         # emittable token (specials + audio vocab) has id ≥ 128000, so the
         # decode head skips the 128k plain-text rows — ~394 MB less HBM per
@@ -694,6 +695,15 @@ class EngineCore:
                 return b
         return self.max_seq
 
+    def resume_bucket_len(self, n: int) -> Optional[int]:
+        """Smallest prefill bucket (regular OR resume tier) covering an
+        n-token resume re-prefill; None = too long to be preemptible."""
+        for b in sorted(set(self.engine_cfg.prefill_buckets)
+                        | set(self.engine_cfg.resume_buckets)):
+            if n <= b <= self.max_seq:
+                return int(b)
+        return None
+
     # -- paged-KV block allocator (engine_cfg.paged_kv) ----------------------
 
     def free_tokens(self) -> int:
@@ -703,16 +713,21 @@ class EngineCore:
         return len(self._free_blocks) * self.engine_cfg.kv_block_size
 
     def kv_demand(self, prompt_len: int, max_tokens: int) -> int:
-        """Tokens a request will reserve: padded prompt bucket + its token
-        budget + decode-call slack, rounded up to whole blocks. With the
-        prefix cache, the injected prefix occupies block positions on top
-        of the suffix bucket — counted conservatively as prefix_len."""
+        """Tokens a request will reserve AT ADMISSION: padded prompt bucket
+        + its token budget + decode-call slack, rounded up to whole blocks.
+        With the prefix cache, the injected prefix occupies block positions
+        on top of the suffix bucket — counted conservatively as prefix_len.
+
+        kv_on_demand (vLLM semantics): only the prefill window + one
+        decode-call window is reserved up front — growth is allocated per
+        decode call (_grow_blocks) and max_tokens never pins blocks."""
         bs_blk = self.engine_cfg.kv_block_size
         pfx = self.engine_cfg.prefix_len if self.engine_cfg.prefix_cache \
             else 0
+        budget = (0 if self.engine_cfg.kv_on_demand else max_tokens)
         total = min(
-            self.bucket_len(prompt_len) + pfx + max_tokens
-            + self.engine_cfg.decode_steps_per_call + 1,
+            self.bucket_len(prompt_len) + pfx + budget
+            + self.engine_cfg.decode_steps_per_call + 2,
             self.max_seq,
         )
         return -(-total // bs_blk) * bs_blk
@@ -751,12 +766,131 @@ class EngineCore:
                 block_table=jnp.asarray(self._table_host)
             )
 
+    # -- on-demand growth + preemption (engine_cfg.kv_on_demand) -------------
+
+    def _blocks_deficit(self, n: int) -> dict:
+        """slot → additional blocks needed to cover the next n-step call
+        (host bookkeeping only; deterministic, so lockstep followers
+        replay identical allocator state)."""
+        bs_blk = self.engine_cfg.kv_block_size
+        cap = self._table_host.shape[1]
+        out = {}
+        for sl in sorted(self._slot_blocks):
+            bound = int(self._len_bounds[sl])
+            if bound <= 0:
+                continue
+            need = min(-(-min(bound + n + 1, self.max_seq) // bs_blk), cap)
+            have = len(self._slot_blocks[sl])
+            if need > have:
+                out[sl] = need - have
+        return out
+
+    def starved_slots(self, n: Optional[int] = None) -> List[int]:
+        """Dry-run the next decode call's block growth: the slots the pool
+        cannot cover. The scheduler preempts before launching when this is
+        non-empty (vLLM preempt-on-exhaustion semantics, SURVEY §2.2)."""
+        if not (self.engine_cfg.paged_kv and self.engine_cfg.kv_on_demand):
+            return []
+        n = n or self.engine_cfg.decode_steps_per_call
+        deficit = self._blocks_deficit(n)
+        free = len(self._free_blocks)
+        starved = []
+        for sl, want in deficit.items():
+            if want <= free:
+                free -= want
+            else:
+                starved.append(sl)
+        return starved
+
+    def _grow_blocks(self, n: int) -> None:
+        """Extend each live slot's block list to cover the next n decode
+        steps (kv_on_demand). The scheduler gates launches with
+        starved_slots() + preemption, so shortage here is a hard error,
+        matching _reserve_blocks."""
+        deficit = self._blocks_deficit(n)
+        if not deficit:
+            return
+        for sl, want in deficit.items():
+            if want > len(self._free_blocks):
+                raise RuntimeError(
+                    f"KV pool exhausted growing slot {sl}: need {want} "
+                    f"blocks, {len(self._free_blocks)} free (gate launches "
+                    "with starved_slots() and preempt)"
+                )
+            blocks = [self._free_blocks.pop() for _ in range(want)]
+            have = len(self._slot_blocks[sl])
+            self._table_host[sl, have: have + want] = blocks
+            self._slot_blocks[sl].extend(blocks)
+        self.cache = self.cache._replace(
+            block_table=jnp.asarray(self._table_host)
+        )
+
+    def snapshot_slot(self, slot: int) -> dict:
+        """Host snapshot of a slot's sampling-chain state (PRNG key,
+        repetition presence, speech-protocol position), taken at preemption
+        AFTER the scheduler drained its in-flight launches — restore_slot
+        is the inverse, and together they make a preempt→resume cycle
+        bit-identical to an uninterrupted stream (tests/test_preemption.py).
+        Under a multi-process mesh the row is replicated through a jitted
+        gather (every process fetches its own copy — mirrored call)."""
+        ss = self.sampling_state
+        if self.mesh is not None:
+            if self._snap_fn is None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                rep = NamedSharding(self.mesh, P())
+                self._snap_fn = jax.jit(
+                    lambda s, i: (s.key[i], s.presence[i],
+                                  s.in_speech[i], s.frame_pos[i]),
+                    out_shardings=(rep, rep, rep, rep),
+                )
+            out = self._snap_fn(ss, jnp.int32(slot))
+        else:
+            out = (ss.key[slot], ss.presence[slot],
+                   ss.in_speech[slot], ss.frame_pos[slot])
+        k, p, isp, fp = jax.device_get(out)
+        return {"key": np.asarray(k), "presence": np.asarray(p),
+                "in_speech": bool(isp), "frame_pos": int(fp)}
+
+    def restore_slot(self, slot: int, snap: dict) -> None:
+        """Write a snapshot_slot dict back into the slot's sampling chain
+        (after the resume re-prefill, whose fused reset + sampling step
+        clobbered it). Mirrored under lockstep — the snapshot crosses the
+        channel by value, identical on every process."""
+        idx = jnp.int32(slot)
+        ss = self.sampling_state
+        self.sampling_state = ss._replace(
+            key=ss.key.at[idx].set(
+                jnp.asarray(snap["key"], ss.key.dtype)),
+            presence=ss.presence.at[idx].set(
+                jnp.asarray(snap["presence"], ss.presence.dtype)),
+            in_speech=ss.in_speech.at[idx].set(bool(snap["in_speech"])),
+            frame_pos=ss.frame_pos.at[idx].set(
+                jnp.asarray(snap["frame_pos"], ss.frame_pos.dtype)),
+        )
+
+    def preempt_slot(self, slot: int) -> None:
+        """Release a preempted slot's KV blocks + host bounds WITHOUT
+        touching device state (the resume admission's fused reset clears
+        it; in-flight launches that still write this slot land in the
+        trash block via the zeroed table row). Mirrored under lockstep."""
+        self._len_bounds[slot] = 0
+        if self.engine_cfg.paged_kv:
+            self._free_slot_blocks([slot])
+
     def _maybe_reserve(self, prompts, slots, bucket, reserve_extra) -> None:
         if not self.engine_cfg.paged_kv:
             return
-        extras = (list(reserve_extra) if reserve_extra is not None
-                  else [self.engine_cfg.max_output_len] * len(prompts))
         slack = self.engine_cfg.decode_steps_per_call + 1
+        if self.engine_cfg.kv_on_demand:
+            # prefill window + one decode-call window only; growth comes
+            # per decode call from _grow_blocks (bound matches bucket+1
+            # _len_bounds so the first grow is a no-op)
+            extras = [1] * len(prompts)
+        else:
+            extras = (list(reserve_extra) if reserve_extra is not None
+                      else [self.engine_cfg.max_output_len] * len(prompts))
         totals = [min(bucket + e + slack, self.max_seq) for e in extras]
         self._reserve_blocks(slots, totals)
 
@@ -767,9 +901,12 @@ class EngineCore:
         budget (the prefix occupies real block positions, so it counts)."""
         if not self.engine_cfg.paged_kv:
             return
-        extras = (list(reserve_extra) if reserve_extra is not None
-                  else [self.engine_cfg.max_output_len] * len(slots))
         slack = self.engine_cfg.decode_steps_per_call + 1
+        if self.engine_cfg.kv_on_demand:
+            extras = [1] * len(slots)
+        else:
+            extras = (list(reserve_extra) if reserve_extra is not None
+                      else [self.engine_cfg.max_output_len] * len(slots))
         totals = [
             min(int(plens[sl]) + suffix_bucket + e + slack, self.max_seq)
             for sl, e in zip(slots, extras)
@@ -907,11 +1044,12 @@ class EngineCore:
             rows.append(p[:cut] + [0] * (pb - cut))
         return suffixes, pidxs, plens, rows
 
-    def _prefix_batch_arrays(self, prompts, slots):
+    def _prefix_batch_arrays(self, prompts, slots, bucket=None):
         """Host arrays for a prefix-aware prefill over the slot batch."""
         suffixes, pidxs, plens_l, rows = self._acquire_prefixes(prompts)
         pb = self.engine_cfg.prefix_len
-        bucket = self.bucket_len(max((len(s) for s in suffixes), default=1))
+        bucket = bucket or self.bucket_len(
+            max((len(s) for s in suffixes), default=1))
         tokens = np.zeros((self.batch, bucket), np.int32)
         lens = np.zeros((self.batch,), np.int32)
         ptoks = np.zeros((self.batch, pb), np.int32)
@@ -939,18 +1077,21 @@ class EngineCore:
         sparams: S.SamplingParams,
         reserve_extra: Optional[Sequence[int]] = None,
         seeds: Optional[Sequence[Optional[int]]] = None,
+        bucket: Optional[int] = None,
     ) -> np.ndarray:
         """Prefill the given slots with prompts; returns first tokens (B,).
 
         Note: prefill runs over the whole slot batch (a fixed-shape graph);
         inactive slots get seg_len 0 and are untouched. In paged-KV mode
         each slot reserves bucket+reserve_extra[i] tokens of pool blocks
-        (default: max_output_len).
+        (default: max_output_len). `bucket` overrides the prompt-derived
+        prefill bucket — the preemption-resume path re-prefills
+        prompt+generated through the resume_buckets tier this way.
         """
         assert len(prompts) == len(slots)
         if self.engine_cfg.prefix_cache:
             tokens, lens, ptoks, plens, pidx, mask, bounds = \
-                self._prefix_batch_arrays(prompts, slots)
+                self._prefix_batch_arrays(prompts, slots, bucket=bucket)
             self.reset_and_seed(slots, seeds)
             self._maybe_reserve_prefix(
                 slots, tokens.shape[1], plens, reserve_extra
@@ -964,7 +1105,8 @@ class EngineCore:
             for sl, b in bounds.items():
                 self._len_bounds[sl] = b
             return np.asarray(tok)
-        bucket = self.bucket_len(max((len(p) for p in prompts), default=1))
+        bucket = bucket or self.bucket_len(
+            max((len(p) for p in prompts), default=1))
         tokens = np.zeros((self.batch, bucket), np.int32)
         lens = np.zeros((self.batch,), np.int32)
         mask = np.zeros((self.batch,), bool)
@@ -1045,6 +1187,8 @@ class EngineCore:
         self._maybe_reserve(prompts, slots, bucket, reserve_extra)
         for p, sl in zip(prompts, slots):
             self._len_bounds[sl] = min(len(p), bucket) + 1
+        if self.engine_cfg.paged_kv and self.engine_cfg.kv_on_demand:
+            self._grow_blocks(n)    # pre-existing active slots also decode
         needed = int(self._len_bounds.max(initial=0)) + n + 1
         window = kv_window or self.kv_bucket(needed)
         toks, tok, act, self.cache, self.sampling_state = self._prefill_decode(
@@ -1074,6 +1218,8 @@ class EngineCore:
         in-flight call stays frozen in the speculative one.
         """
         n = n or self.engine_cfg.decode_steps_per_call
+        if self.engine_cfg.paged_kv and self.engine_cfg.kv_on_demand:
+            self._grow_blocks(n)
         needed = int(self._len_bounds.max(initial=0)) + n + 1
         window = self.kv_bucket(needed)
         toks, tok, act, self.cache, self.sampling_state = self._decode(
@@ -1169,6 +1315,17 @@ class EngineCore:
                         finally:
                             self._len_bounds[:] = saved
             prev_b = b
+        if self.engine_cfg.paged_kv and self.engine_cfg.kv_on_demand:
+            # preemption-resume tier: plain prefill graphs only (the fused
+            # admission (bucket × steps × window) matrix stays on the
+            # regular buckets — resume is rare and chains on the next
+            # ordinary decode launch)
+            for b in self.engine_cfg.resume_buckets:
+                if b <= prev_b or b > self.max_seq:
+                    continue
+                with t.phase(f"compile_prefill_resume_{b}"):
+                    self.prefill_slots([[1] * (b + plen)], [0], sp,
+                                       bucket=b)
         windows = sorted({self.kv_bucket(w) for w in
                           list(self.engine_cfg.kv_buckets) + [self.max_seq]
                           if w <= self.max_seq} | {self.kv_bucket(1)})

@@ -112,6 +112,12 @@ class _SlotState:
         self.chunk_index = 0
         self._restarts_seen = 0
         self.t0 = time.perf_counter()
+        # preemption-resume bookkeeping (kv_on_demand): the raw LM token
+        # stream so a preempted request can re-prefill prompt+generated,
+        # plus the sampling-chain snapshot taken at preemption
+        self.prompt_ids: Optional[List[int]] = None
+        self.token_ids: List[int] = []
+        self.resume_snapshot: Optional[dict] = None
 
     def _ms(self) -> float:
         return (time.perf_counter() - self.t0) * 1000.0
@@ -135,6 +141,7 @@ class _SlotState:
                 finished = True
                 break
         self.produced += len(row)
+        self.token_ids.extend(int(t) for t in row)
         self.metrics.tokens = self.produced
         codes = self.extractor.feed_many(row)
         if self.extractor.restart_count != self._restarts_seen:
@@ -233,6 +240,7 @@ class Scheduler:
         # exit nonzero so a supervisor restarts the whole group
         self.fatal: Optional[str] = None
         self.on_fatal = None    # callable(msg) — set by serving/app.py
+        self.preemptions = 0    # kv_on_demand preempt-and-resume events
         # fused admission vocode (multi-stream twin of
         # pipeline._first_pcm_fn): the first chunk's extraction + SNAC
         # decode for every admitted slot, chained onto the admission
@@ -609,6 +617,51 @@ class Scheduler:
         E.copy_async(pcm_d, ok_d)
         return (eligible, pcm_d, ok_d, nf, emit)
 
+    def _set_sp_row(self, slot: int, sp: SamplingConfig) -> None:
+        """Write one slot's sampling knobs into the host mirrors."""
+        self._sp["temperature"][slot] = 0.0 if sp.greedy else sp.temperature
+        self._sp["top_p"][slot] = sp.top_p
+        self._sp["top_k"][slot] = 1 if sp.greedy else sp.top_k
+        self._sp["repetition_penalty"][slot] = sp.repetition_penalty
+        lo, hi = sp.token_range or (0, 0)
+        self._sp["allowed_min"][slot] = lo
+        self._sp["allowed_max"][slot] = hi
+        self._sp["frame_protocol"][slot] = sp.frame_protocol
+
+    def _admit_resume(self, resumes) -> bool:
+        """Re-admit preempted requests: re-prefill prompt+generated[:-1]
+        at a resume bucket, restore the sampling-chain snapshot, and set
+        last_tok so the next decode launch continues the stream — a
+        bit-identical continuation of the preempted generation
+        (tests/test_preemption.py). Only runs with an empty launch
+        pipeline (step() calls _admit then), so no stale launch can
+        mis-attribute tokens to the resumed slot; the prefill's own
+        sampled token and chain updates are discarded/overwritten by the
+        restore."""
+        did = False
+        for slot, req, prompt in resumes:
+            state = req._resume_state
+            req._resume_state = None
+            if req.cancelled:
+                req.events.put(("done", StreamMetrics()))
+                continue
+            bucket = self.core.resume_bucket_len(len(prompt))
+            if bucket is None:
+                req.events.put(("error",
+                                "resume re-prefill exceeds resume_buckets"))
+                continue
+            self.slots[slot] = state
+            self._set_sp_row(slot, req.sampling)
+            sp_arr = self._sampling_params()
+            self.core.prefill_slots([prompt], [slot], sp_arr,
+                                    seeds=[None], bucket=bucket)
+            self.core.restore_slot(slot, state.resume_snapshot)
+            state.resume_snapshot = None
+            self._last_tok[slot] = state.token_ids[-1]
+            self._active[slot] = True
+            did = True
+        return did
+
     def _admit(self) -> bool:
         """Admit pending requests; returns True if an admission launch was
         pushed onto the pipeline.
@@ -668,7 +721,15 @@ class Scheduler:
                 slot = eligible[0]
             free.remove(slot)
             self._drop_queued(req)
-            batch.append((slot, req, self._build_prompt(req)))
+            rstate = getattr(req, "_resume_state", None)
+            if rstate is not None:
+                # preemption resume: re-prefill prompt + generated-so-far
+                # (the last token re-enters as last_tok; its KV is written
+                # by the next decode step, exactly like a live stream)
+                batch.append((slot, req,
+                              rstate.prompt_ids + rstate.token_ids[:-1]))
+            else:
+                batch.append((slot, req, self._build_prompt(req)))
         if self.config.engine.paged_kv and batch:
             # capacity gate (the TRT in-flight-batching behavior): admit
             # only what the KV block pool can hold; the rest waits its turn
@@ -676,39 +737,57 @@ class Scheduler:
             slack = self.config.engine.decode_steps_per_call + 1
             pfx = (self.config.engine.prefix_len
                    if self.config.engine.prefix_cache else 0)
+            on_demand = self.config.engine.kv_on_demand
+
+            def entry_demand(r, p, fresh_bucket):
+                if getattr(r, "_resume_state", None) is not None:
+                    b = self.core.resume_bucket_len(len(p)) \
+                        or self.core.max_seq
+                    total = min(b + slack + 1, self.core.max_seq)
+                elif on_demand:
+                    # prefill window + one decode-call window only —
+                    # growth is on-demand, preemption covers exhaustion
+                    total = min(fresh_bucket + pfx + slack + 1,
+                                self.core.max_seq)
+                else:
+                    total = min(fresh_bucket + pfx
+                                + r.sampling.max_tokens + slack,
+                                self.core.max_seq)
+                return -(-total // bs_blk) * bs_blk
+
             while batch:
-                bucket = self.core.bucket_len(
-                    max(len(p) for _, _, p in batch)
-                )
-                demand = sum(
-                    -(-min(bucket + pfx + r.sampling.max_tokens + slack,
-                           self.core.max_seq) // bs_blk) * bs_blk
-                    for _, r, _ in batch
-                )
+                fresh = [len(p) for _, r, p in batch
+                         if getattr(r, "_resume_state", None) is None]
+                fresh_bucket = (self.core.bucket_len(max(fresh))
+                                if fresh else 0)
+                demand = sum(entry_demand(r, p, fresh_bucket)
+                             for _, r, p in batch)
                 if demand <= self.core.free_tokens():
                     break
                 slot, req, _ = batch.pop()   # defer the newest candidate
                 self._held.appendleft(req)
         if not batch:
             return False
+        resumes = [e for e in batch
+                   if getattr(e[1], "_resume_state", None) is not None]
+        batch = [e for e in batch
+                 if getattr(e[1], "_resume_state", None) is None]
+        did_resume = False
+        if resumes:
+            did_resume = self._admit_resume(resumes)
+        if not batch:
+            return did_resume
         prompts, slots_idx, seeds, extras = [], [], [], []
         for slot, req, prompt in batch:
             state = _SlotState(req, self)
+            state.prompt_ids = list(prompt)
             self.slots[slot] = state
             prompts.append(prompt)
             slots_idx.append(slot)
             seeds.append(req.sampling.seed if req.sampling.seed is not None
                          else req.id)
             extras.append(req.sampling.max_tokens)
-            sp = req.sampling
-            self._sp["temperature"][slot] = 0.0 if sp.greedy else sp.temperature
-            self._sp["top_p"][slot] = sp.top_p
-            self._sp["top_k"][slot] = 1 if sp.greedy else sp.top_k
-            self._sp["repetition_penalty"][slot] = sp.repetition_penalty
-            lo, hi = sp.token_range or (0, 0)
-            self._sp["allowed_min"][slot] = lo
-            self._sp["allowed_max"][slot] = hi
-            self._sp["frame_protocol"][slot] = sp.frame_protocol
+            self._set_sp_row(slot, req.sampling)
         sp_arr = self._sampling_params()
         # kv_window=None → smallest bucket covering every live slot (the
         # fused decode steps read W tokens of KV per step per layer; with
@@ -852,6 +931,164 @@ class Scheduler:
     def _launch_ids(self):
         return [s.req.id if s is not None else None for s in self.slots]
 
+    def _consume_one(self) -> bool:
+        """Fetch + process the oldest in-flight launch (one pipeline slot).
+        Factored out of step() so preemption can drain the pipeline before
+        snapshotting a victim's sampling chain."""
+        prev = self._inflight.popleft() if self._inflight else None
+        prof = self._prof
+        if prev is None:
+            return False
+        (toks_d, tok_d, act_d, sp_used, launch_ids, skip_first,
+         fused_pcm) = prev
+        if prof is not None:
+            _t = time.perf_counter()
+        toks = np.asarray(toks_d)        # overlaps the in-flight calls
+        active = np.asarray(act_d)
+        self._last_tok = np.array(tok_d)
+        if prof is not None:
+            _now = time.perf_counter()
+            prof["fetch_s"] += _now - _t
+            prof["ticks"] += 1
+            _t = _now
+        finishing = []
+        for slot, state in enumerate(self.slots):
+            if state is None or launch_ids[slot] != state.req.id:
+                continue
+            if not self._active[slot]:
+                continue
+            row = toks[slot]
+            if skip_first is not None and skip_first[slot]:
+                row = row[1:]   # fused-admission repeat of last token
+            finished = state.on_tokens(
+                [int(t) for t in row], self.eos_id
+            )
+            # device-side EOS/max-seq freeze also ends the slot
+            if finished or not active[slot]:
+                finishing.append(slot)
+        if prof is not None:
+            _now = time.perf_counter()
+            prof["host_tokens_s"] += _now - _t
+            _t = _now
+        if fused_pcm is not None:
+            # fused admission vocode: emit eligible slots' first chunks
+            # straight from the chained device decode; their lookahead
+            # bookkeeping commits here so the tick below plans the rest
+            f_slots, pcm_d, ok_d, nf, emit = fused_pcm
+            try:
+                okv = np.asarray(ok_d)
+                pcm = np.asarray(pcm_d)
+            except Exception:
+                okv = None
+            if okv is not None:
+                for sl in f_slots:
+                    state = self.slots[sl]
+                    if (state is None or launch_ids[sl] != state.req.id
+                            or sl in finishing or not okv[sl]
+                            or state.req.cancelled
+                            or state.metrics.chunks):
+                        continue
+                    la = state.lookahead
+                    plan = la.plan()
+                    # the fused graph decoded EXACTLY frames [0, nf);
+                    # any other window would see different context
+                    if (plan is None or plan.w0 != 0 or plan.lo != 0
+                            or plan.w1 != nf or plan.hi != emit):
+                        continue
+                    la.commit(plan)
+                    state.metrics.decode_times_ms.append(0.0)
+                    state._emit(pcm[sl])
+        if prof is not None:
+            _now = time.perf_counter()
+            prof["fused_pcm_s"] += _now - _t
+            _t = _now
+        self._vocode_tick(finishing)
+        if prof is not None:
+            _now = time.perf_counter()
+            prof["vocode_plan_s"] += _now - _t
+            _t = _now
+        for slot in finishing:
+            state = self.slots[slot]
+            if state is not None:
+                # the done event must follow the slot's flush chunks:
+                # it rides the same FIFO as the decode jobs
+                self._vq_put(("finish", state))
+            self._release(slot)
+        return True
+
+    # -- preemption (EngineConfig.kv_on_demand, VERDICT r4 #4) ---------------
+
+    def _drain_inflight(self) -> None:
+        """Fetch + process every in-flight launch: the device sampling
+        chain has advanced through every LAUNCHED step, so a preemption
+        snapshot is only consistent once the host has processed those
+        tokens too."""
+        while self._inflight:
+            self._consume_one()
+
+    def _pick_victim(self) -> Optional[int]:
+        """Youngest resumable active stream (highest request id whose
+        prompt+generated re-prefill fits a resume bucket)."""
+        best = None
+        for slot, state in enumerate(self.slots):
+            if state is None or state.req.cancelled or not state.token_ids:
+                continue
+            resume_len = len(state.prompt_ids or []) \
+                + len(state.token_ids) - 1
+            if self.core.resume_bucket_len(resume_len) is None:
+                continue
+            if best is None or state.req.id > best[1]:
+                best = (slot, state.req.id)
+        return best[0] if best is not None else None
+
+    def _preempt(self, slot: int) -> None:
+        """Evict a stream from its slot, keeping everything needed to
+        resume bit-identically: the raw token stream (re-prefill input)
+        and the sampling-chain snapshot. The request rejoins the head of
+        the held queue; its emitted audio stands, the stream just gaps."""
+        state = self.slots[slot]
+        state.resume_snapshot = self.core.snapshot_slot(slot)
+        self.core.preempt_slot(slot)
+        self.slots[slot] = None
+        self._active[slot] = False
+        state.req._resume_state = state
+        self._held.appendleft(state.req)
+        self.preemptions += 1
+
+    def _maybe_preempt(self) -> bool:
+        """When the next decode call's on-demand block growth cannot be
+        covered, preempt youngest-first until it can (the vLLM
+        preempt-and-recompute policy, SURVEY §2.2). Drains the launch
+        pipeline first so snapshots match the processed stream exactly."""
+        ecfg = self.config.engine
+        if not (ecfg.paged_kv and ecfg.kv_on_demand):
+            return False
+        n = max(self.admission_steps, ecfg.decode_steps_per_call)
+        if not self.core.starved_slots(n):
+            return False
+        self._drain_inflight()
+        while True:
+            starved = self.core.starved_slots(n)
+            if not starved:
+                return True
+            victim = self._pick_victim()
+            if victim is None:
+                # nothing resumable (every live stream outgrew the resume
+                # buckets): evict the starved streams with a clean error
+                # rather than wedging the whole engine
+                for sl in starved:
+                    st = self.slots[sl]
+                    if st is not None:
+                        st.req.events.put((
+                            "error",
+                            "evicted: KV pool exhausted and stream too "
+                            "long to preempt-resume (raise kv_pool_tokens "
+                            "or resume_buckets)",
+                        ))
+                        self._release(sl)
+                return True
+            self._preempt(victim)
+
     def step(self) -> bool:
         """One scheduler iteration; returns True if any work was done.
 
@@ -867,7 +1104,7 @@ class Scheduler:
         finished request's speculative tokens to a newly admitted one.
         """
         self._ensure_vocode_worker()
-        did = False
+        did = self._maybe_preempt()
         # speculative top-up: keep the launch queue full while no admissions
         # wait (each launch chains device handles from the newest one)
         while (self._inflight and self.pending.empty()
@@ -881,86 +1118,8 @@ class Scheduler:
                 (nxt[0], nxt[1], nxt[2], sp_used, self._launch_ids(), None,
                  None)
             )
-        prev = self._inflight.popleft() if self._inflight else None
+        did = self._consume_one() or did
         prof = self._prof
-        if prev is not None:
-            (toks_d, tok_d, act_d, sp_used, launch_ids, skip_first,
-             fused_pcm) = prev
-            if prof is not None:
-                _t = time.perf_counter()
-            toks = np.asarray(toks_d)        # overlaps the in-flight calls
-            active = np.asarray(act_d)
-            self._last_tok = np.array(tok_d)
-            if prof is not None:
-                _now = time.perf_counter()
-                prof["fetch_s"] += _now - _t
-                prof["ticks"] += 1
-                _t = _now
-            finishing = []
-            for slot, state in enumerate(self.slots):
-                if state is None or launch_ids[slot] != state.req.id:
-                    continue
-                if not self._active[slot]:
-                    continue
-                row = toks[slot]
-                if skip_first is not None and skip_first[slot]:
-                    row = row[1:]   # fused-admission repeat of last token
-                finished = state.on_tokens(
-                    [int(t) for t in row], self.eos_id
-                )
-                # device-side EOS/max-seq freeze also ends the slot
-                if finished or not active[slot]:
-                    finishing.append(slot)
-            if prof is not None:
-                _now = time.perf_counter()
-                prof["host_tokens_s"] += _now - _t
-                _t = _now
-            if fused_pcm is not None:
-                # fused admission vocode: emit eligible slots' first chunks
-                # straight from the chained device decode; their lookahead
-                # bookkeeping commits here so the tick below plans the rest
-                f_slots, pcm_d, ok_d, nf, emit = fused_pcm
-                try:
-                    okv = np.asarray(ok_d)
-                    pcm = np.asarray(pcm_d)
-                except Exception:
-                    okv = None
-                if okv is not None:
-                    for sl in f_slots:
-                        state = self.slots[sl]
-                        if (state is None or launch_ids[sl] != state.req.id
-                                or sl in finishing or not okv[sl]
-                                or state.req.cancelled
-                                or state.metrics.chunks):
-                            continue
-                        la = state.lookahead
-                        plan = la.plan()
-                        # the fused graph decoded EXACTLY frames [0, nf);
-                        # any other window would see different context
-                        if (plan is None or plan.w0 != 0 or plan.lo != 0
-                                or plan.w1 != nf or plan.hi != emit):
-                            continue
-                        la.commit(plan)
-                        state.metrics.decode_times_ms.append(0.0)
-                        state._emit(pcm[sl])
-            if prof is not None:
-                _now = time.perf_counter()
-                prof["fused_pcm_s"] += _now - _t
-                _t = _now
-            self._vocode_tick(finishing)
-            if prof is not None:
-                _now = time.perf_counter()
-                prof["vocode_plan_s"] += _now - _t
-                _t = _now
-            for slot in finishing:
-                state = self.slots[slot]
-                if state is not None:
-                    # the done event must follow the slot's flush chunks:
-                    # it rides the same FIFO as the decode jobs
-                    self._vq_put(("finish", state))
-                self._release(slot)
-            did = True
-
         if prof is not None:
             _t2 = time.perf_counter()
         if not self._inflight:

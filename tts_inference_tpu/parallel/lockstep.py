@@ -106,6 +106,12 @@ MIRRORED = (
     "reset_and_seed",
     "seed_slots",
     "_free_slot_blocks",
+    # preemption-resume (kv_on_demand): snapshot enters a mesh-jitted
+    # gather (collective under a multi-process mesh — every process must
+    # replay it); restore/preempt mutate sampling state / the allocator
+    "snapshot_slot",
+    "restore_slot",
+    "preempt_slot",
 )
 
 

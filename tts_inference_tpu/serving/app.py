@@ -301,6 +301,8 @@ class Server:
             }
             if core.engine_cfg.paged_kv:
                 sch["kv_free_tokens"] = core.free_tokens()
+                if core.engine_cfg.kv_on_demand:
+                    sch["preemptions"] = s.preemptions
             if core.engine_cfg.prefix_cache:
                 sch["prefix_hits"] = core.prefix_hits
                 sch["prefix_misses"] = core.prefix_misses
