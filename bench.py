@@ -175,26 +175,30 @@ def run_concurrent(rt, tokens: int, streams: int,
                    use_native: bool = False,
                    pipeline_depth: int = 2, iters: int = 1,
                    token_list=None, tick_profile: bool = False,
-                   steps_override=None, chunk_override=None) -> dict:
+                   steps_override=None, chunk_override=None,
+                   sched=None, declared_tokens=None) -> dict:
 
     import numpy as np
 
     from tts_inference_tpu import protocol as P
     from tts_inference_tpu.engine.scheduler import Scheduler, TTSRequest
 
-    cfg = rt.config
-    if steps_override:
-        # one-boot sweep support: a fresh Scheduler (new EngineCore over
-        # the same device params) with a different decode_steps_per_call —
-        # boot cost is paid once per PROCESS, not per config
-        import dataclasses
+    own_sched = sched is None
+    if own_sched:
+        cfg = rt.config
+        if steps_override:
+            # one-boot sweep support: a fresh Scheduler (new EngineCore
+            # over the same device params) with a different
+            # decode_steps_per_call — boot cost is paid once per PROCESS,
+            # not per config
+            import dataclasses
 
-        cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
-            cfg.engine, decode_steps_per_call=int(steps_override)))
-    sched = Scheduler(
-        rt.engine.core.params, cfg, rt.vocoder, rt.tokenizer,
-        mesh=rt.mesh, use_native=use_native,
-    )
+            cfg = dataclasses.replace(cfg, engine=dataclasses.replace(
+                cfg.engine, decode_steps_per_call=int(steps_override)))
+        sched = Scheduler(
+            rt.engine.core.params, cfg, rt.vocoder, rt.tokenizer,
+            mesh=rt.mesh, use_native=use_native,
+        )
     sched.pipeline_depth = pipeline_depth
     sched.start()
 
@@ -207,6 +211,7 @@ def run_concurrent(rt, tokens: int, streams: int,
                 ),
                 stream_cfg=stream_cfg(chunk=chunk_override),
                 force_speech=True,
+                budget_tokens=declared_tokens,
             )
             for i in range(streams)
         ]
@@ -291,7 +296,8 @@ def run_concurrent(rt, tokens: int, streams: int,
                               "ticks": n}), file=sys.stderr)
             passes[-1]["tick_profile"] = per_tick
     finally:
-        sched.stop()
+        if own_sched:
+            sched.stop()
     if len(passes) == 1:
         return passes[0]
     med = {k: float(np.median([p[k] for p in passes]))
@@ -360,6 +366,12 @@ def main() -> int:
                     help="capacity mode: max acceptable TTFA p95")
     ap.add_argument("--capacity-gap-ms", type=float, default=500.0,
                     help="capacity mode: max acceptable inter-chunk gap")
+    ap.add_argument("--declared-tokens", type=int, default=None,
+                    help="declared output budget per request (admission/KV "
+                         "reservation) while --tokens drives actual "
+                         "emission — models real EOS-before-budget traffic "
+                         "(worst-case reservation pays the declaration; "
+                         "--kv-on-demand pays only actual emission)")
     ap.add_argument("--pallas-attention", action="store_true",
                     help="Pallas decode-attention kernel (with --paged-kv: "
                          "the block-streaming paged kernel)")
@@ -520,10 +532,21 @@ def main() -> int:
                          if 0 < int(x) <= args.slots})
         if args.smoke:
             points = [1, 2]
+        # ONE scheduler for the whole curve: every point shares the same
+        # slot geometry, so the graphs compile once (a per-point Scheduler
+        # would re-jit the full graph set — minutes each over the tunnel)
+        from tts_inference_tpu.engine.scheduler import Scheduler
+
+        cap_sched = Scheduler(
+            rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
+            mesh=rt.mesh, use_native=args.native_protocol,
+        )
         frontier, frontier_row, rows = 0, None, []
         for n in points:
             warm = run_concurrent(rt, args.tokens, n, args.native_protocol,
-                                  args.pipeline_depth, args.iters)
+                                  args.pipeline_depth, args.iters,
+                                  sched=cap_sched,
+                                  declared_tokens=args.declared_tokens)
             ok = (warm["per_stream_rtf"] >= 1.0
                   and warm["ttfa_p95_ms"] <= args.capacity_ttfa_ms
                   and warm["worst_gap_ms"] <= args.capacity_gap_ms)
@@ -542,6 +565,7 @@ def main() -> int:
                 frontier, frontier_row = n, dict(row)
             if warm["per_stream_rtf"] < 0.8:
                 break   # deep past the frontier; higher N only gets worse
+        cap_sched.stop()
         warm = frontier_row or rows[-1]
         warm["curve"] = rows
         # the reference serializes requests behind a lock (max_batch_size=1
@@ -621,7 +645,8 @@ def main() -> int:
         streams = 2 if args.smoke else args.streams
         warm = run_concurrent(rt, args.tokens, streams,
                               args.native_protocol, args.pipeline_depth,
-                              args.iters, tick_profile=args.tick_profile)
+                              args.iters, tick_profile=args.tick_profile,
+                              declared_tokens=args.declared_tokens)
         result = {
             "metric": f"aggregate_streaming_rtf_{streams}streams",
             "value": round(warm["aggregate_rtf"], 4),

@@ -64,6 +64,12 @@ class TTSRequest:
     stream_cfg: StreamConfig = dataclasses.field(default_factory=StreamConfig)
     force_speech: bool = False
     noise_seed: int = 0
+    # declared output budget for admission/KV reservation (None = the
+    # sampling max_tokens). Real traffic usually EOSes well before its
+    # budget — worst-case reservation pays for the declaration, on-demand
+    # (kv_on_demand) pays only for actual emission; benchmarks model that
+    # gap by declaring big and emitting small (bench.py --declared-tokens)
+    budget_tokens: Optional[int] = None
 
     id: int = dataclasses.field(default_factory=lambda: next(_req_counter))
     events: "queue.Queue" = dataclasses.field(default_factory=queue.Queue)
@@ -687,8 +693,11 @@ class Scheduler:
         # interactive request always has capacity to land in
         long_cutoff = len(self.slots) - ecfg.reserved_short_slots
 
+        def budget(r: TTSRequest) -> int:
+            return r.budget_tokens or r.sampling.max_tokens
+
         def is_short(r: TTSRequest) -> bool:
-            return r.sampling.max_tokens <= ecfg.short_request_tokens
+            return budget(r) <= ecfg.short_request_tokens
 
         # candidate order: held requests first (they were already admitted
         # by policy and only deferred by the paged-KV capacity gate), then
@@ -701,7 +710,7 @@ class Scheduler:
             now = time.perf_counter()
             rate = ecfg.max_output_len / max(ecfg.sjf_aging_ms, 1e-6)
             ordered.sort(key=lambda r: (
-                r.sampling.max_tokens
+                budget(r)
                 - rate * (now - r.submitted_at) * 1000.0
             ))
         for req in list(self._held) + ordered:
@@ -750,8 +759,7 @@ class Scheduler:
                     total = min(fresh_bucket + pfx + slack + 1,
                                 self.core.max_seq)
                 else:
-                    total = min(fresh_bucket + pfx
-                                + r.sampling.max_tokens + slack,
+                    total = min(fresh_bucket + pfx + budget(r) + slack,
                                 self.core.max_seq)
                 return -(-total // bs_blk) * bs_blk
 
@@ -786,7 +794,7 @@ class Scheduler:
             slots_idx.append(slot)
             seeds.append(req.sampling.seed if req.sampling.seed is not None
                          else req.id)
-            extras.append(req.sampling.max_tokens)
+            extras.append(budget(req))
             self._set_sp_row(slot, req.sampling)
         sp_arr = self._sampling_params()
         # kv_window=None → smallest bucket covering every live slot (the
