@@ -308,6 +308,86 @@ def run_concurrent(rt, tokens: int, streams: int,
     return med
 
 
+def capacity_main(args) -> int:
+    """The realtime-capacity frontier (VERDICT r4 #1).
+
+    Per-point GEOMETRY, not per-point load: a fixed B-slot graph spends
+    the same decode step on 8 active streams as on B (masked rows still
+    compute), so per-stream RTF is flat ~aggregate(B)/B at every N —
+    measured on-chip: 0.83 at 8-on-64, 0.80 at 16-on-64, 0.66 at
+    64-on-64. The deployable frontier question is "what's the largest N
+    for which an N-slot engine serves N streams at realtime", so each
+    point boots slots=N in its OWN subprocess (in-process HBM teardown
+    fragments — the quant_ladder lesson) riding the persistent XLA cache.
+    """
+    import subprocess
+
+    points = sorted({int(x) for x in args.capacity_points.split(",")})
+    if args.smoke:
+        points = [1, 2]
+    frontier, frontier_row, rows = 0, None, []
+    for n in points:
+        cmd = [sys.executable, __file__, "--mode", "concurrent",
+               "--streams", str(n), "--slots", str(n),
+               "--iters", str(args.iters), "--tokens", str(args.tokens),
+               "--pipeline-depth", str(args.pipeline_depth),
+               "--json-extra"]
+        if not args.smoke:
+            cmd += ["--paged-kv", "--kv-on-demand"]
+            cmd += ["--kv-int4"] if args.kv_int4 else ["--kv-int8"]
+        else:
+            cmd += ["--smoke"]
+        if args.steps_per_call:
+            cmd += ["--steps-per-call", str(args.steps_per_call)]
+        if args.weight_bits != 8:
+            cmd += ["--weight-bits", str(args.weight_bits)]
+        if args.declared_tokens:
+            cmd += ["--declared-tokens", str(args.declared_tokens)]
+        if args.real_tokenizer:
+            cmd += ["--real-tokenizer"]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        try:
+            point = json.loads(r.stdout.strip().splitlines()[-1])
+            det = point["detail"]
+        except Exception:
+            print(json.dumps({"capacity_point_error": {
+                "streams": n, "rc": r.returncode,
+                "tail": r.stderr[-1500:]}}), file=sys.stderr, flush=True)
+            continue
+        ok = (det["per_stream_rtf"] >= 1.0
+              and det["ttfa_p95_ms"] <= args.capacity_ttfa_ms
+              and det["worst_gap_ms"] <= args.capacity_gap_ms)
+        row = {
+            "streams": n, "slots": n,
+            "per_stream_rtf": round(det["per_stream_rtf"], 3),
+            "aggregate_rtf": round(det["aggregate_rtf"], 2),
+            "ttfa_p95_ms": round(det["ttfa_p95_ms"], 1),
+            "worst_gap_ms": round(det["worst_gap_ms"], 1),
+            "realtime_ok": ok,
+        }
+        rows.append(row)
+        print(json.dumps({"capacity_point": row}), file=sys.stderr,
+              flush=True)
+        if ok and n > frontier:
+            frontier, frontier_row = n, dict(row)
+        if det["per_stream_rtf"] < 0.8:
+            break   # deep past the frontier; higher N only gets worse
+    # the reference serializes requests behind a lock (max_batch_size=1
+    # engines, SURVEY §2.3) at 1.42x RTF: its realtime capacity is 1
+    result = {
+        "metric": "capacity_streams_at_realtime",
+        "value": frontier,
+        "unit": "streams",
+        "vs_baseline": float(frontier),
+    }
+    if args.json_extra:
+        detail = dict(frontier_row or (rows[-1] if rows else {}))
+        detail["curve"] = rows
+        result["detail"] = detail
+    print(json.dumps(result))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
@@ -455,19 +535,13 @@ def main() -> int:
                 short_request_tokens=128,
             )
     if args.mode == "capacity":
-        # the realtime-capacity frontier (VERDICT r4 #1): the production
-        # many-stream geometry — paged int8 KV + on-demand growth — driven
-        # at increasing concurrency on ONE booted engine. The headline is
-        # the PRODUCT number the reference's roadmap asks for ("~5 users
-        # today, scale to ~100", spec.md:133,137-139): max concurrent
-        # streams with per-stream RTF ≥ 1.0, TTFA p95 ≤ 500 ms and no
-        # inter-chunk gap > 500 ms — NOT the batch-throughput record.
-        if args.slots == 8:
-            args.slots = 64
-        args.paged_kv = True
-        args.kv_on_demand = True
-        if not args.kv_int4:
-            args.kv_int8 = True
+        # the realtime-capacity frontier (VERDICT r4 #1): the PRODUCT
+        # number the reference's roadmap asks for ("~5 users today, scale
+        # to ~100", spec.md:133,137-139) — max concurrent streams with
+        # per-stream RTF ≥ 1.0, TTFA p95 ≤ 500 ms and no inter-chunk gap
+        # > 500 ms — NOT the batch-throughput record. Runs before any
+        # parent boot: each point owns the chip in its own subprocess.
+        return capacity_main(args)
     if args.mode == "long":
         # the reference's long-audio engine class (12,000 output tokens,
         # hindi_canopy/build_engine.py:61): paged KV is what makes a
@@ -527,56 +601,7 @@ def main() -> int:
         "load_timings": {k: (round(v, 2) if isinstance(v, float) else v)
                          for k, v in rt.load_timings.items()},
     }), file=sys.stderr, flush=True)
-    if args.mode == "capacity":
-        points = sorted({int(x) for x in args.capacity_points.split(",")
-                         if 0 < int(x) <= args.slots})
-        if args.smoke:
-            points = [1, 2]
-        # ONE scheduler for the whole curve: every point shares the same
-        # slot geometry, so the graphs compile once (a per-point Scheduler
-        # would re-jit the full graph set — minutes each over the tunnel)
-        from tts_inference_tpu.engine.scheduler import Scheduler
-
-        cap_sched = Scheduler(
-            rt.engine.core.params, rt.config, rt.vocoder, rt.tokenizer,
-            mesh=rt.mesh, use_native=args.native_protocol,
-        )
-        frontier, frontier_row, rows = 0, None, []
-        for n in points:
-            warm = run_concurrent(rt, args.tokens, n, args.native_protocol,
-                                  args.pipeline_depth, args.iters,
-                                  sched=cap_sched,
-                                  declared_tokens=args.declared_tokens)
-            ok = (warm["per_stream_rtf"] >= 1.0
-                  and warm["ttfa_p95_ms"] <= args.capacity_ttfa_ms
-                  and warm["worst_gap_ms"] <= args.capacity_gap_ms)
-            row = {
-                "streams": n,
-                "per_stream_rtf": round(warm["per_stream_rtf"], 3),
-                "aggregate_rtf": round(warm["aggregate_rtf"], 2),
-                "ttfa_p95_ms": round(warm["ttfa_p95_ms"], 1),
-                "worst_gap_ms": round(warm["worst_gap_ms"], 1),
-                "realtime_ok": ok,
-            }
-            rows.append(row)
-            print(json.dumps({"capacity_point": row}), file=sys.stderr,
-                  flush=True)
-            if ok and n > frontier:
-                frontier, frontier_row = n, dict(row)
-            if warm["per_stream_rtf"] < 0.8:
-                break   # deep past the frontier; higher N only gets worse
-        cap_sched.stop()
-        warm = frontier_row or rows[-1]
-        warm["curve"] = rows
-        # the reference serializes requests behind a lock (max_batch_size=1
-        # engines, SURVEY §2.3) at 1.42x RTF: its realtime capacity is 1
-        result = {
-            "metric": f"capacity_streams_at_realtime_{args.slots}slots",
-            "value": frontier,
-            "unit": "streams",
-            "vs_baseline": float(frontier),
-        }
-    elif args.mode == "long":
+    if args.mode == "long":
         warm = run_concurrent(rt, args.tokens, args.streams,
                               args.native_protocol, args.pipeline_depth,
                               max(1, args.iters - 1))
