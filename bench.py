@@ -333,7 +333,12 @@ def capacity_main(args) -> int:
                "--pipeline-depth", str(args.pipeline_depth),
                "--json-extra"]
         if not args.smoke:
-            cmd += ["--paged-kv", "--kv-on-demand"]
+            # dense int8-KV is the fastest N-on-N serving config (paged
+            # costs ~20% in kernel overhead at these batch sizes and only
+            # pays off under oversubscription / long-audio pools) — pass
+            # --paged-kv to measure the paged+on-demand curve instead
+            if args.paged_kv:
+                cmd += ["--paged-kv", "--kv-on-demand"]
             cmd += ["--kv-int4"] if args.kv_int4 else ["--kv-int8"]
         else:
             cmd += ["--smoke"]
