@@ -168,3 +168,46 @@ def test_progressive_first_chunk_lookahead(decoder):
     # the first chunk deviates only within the influence reach and mildly
     err = np.abs(got[:spf] - full[:spf])
     assert err.max() < 0.5 and float((err ** 2).mean()) < 1e-3
+
+
+def test_chunk_phase_same_audio_different_boundaries(decoder):
+    """chunk_phase (the scheduler's burst de-phasing, PERF.md round 5)
+    delays the SECOND chunk boundary only — the emitted audio matches the
+    unphased stream within float ULP (different window lengths land in
+    different decode buckets, whose conv-as-matmul tilings accumulate in
+    different orders; ≤1 int16 LSB after quantization, the same bound the
+    scheduler's isolation test uses)."""
+    rng = np.random.default_rng(3)
+    codes = make_codes(rng, 30)
+    cfg = StreamConfig(frames_per_chunk=4, lookahead_frames=3,
+                       left_context_frames=4)
+
+    def run(phase):
+        la = LookaheadStreamingDecoder(decoder, cfg, noise_seed=5)
+        la.chunk_phase = phase
+        sizes, parts = [], []
+        step = P.FRAME_SIZE * 2
+        for i in range(0, len(codes), step):
+            la.feed(codes[i: i + step])
+            out = la.poll()
+            if out is not None:
+                parts.append(out)
+                sizes.append(len(out))
+        out = la.flush()
+        if out is not None:
+            parts.append(out)
+            sizes.append(len(out))
+        return np.concatenate(parts), sizes
+
+    base, sizes0 = run(0)
+    phased, sizes2 = run(2)
+    assert base.shape == phased.shape
+    assert np.abs(base - phased).max() < 2e-6        # float ULP scale
+    q = np.round(np.clip(base, -1, 1) * 32767).astype(np.int32)
+    p16 = np.round(np.clip(phased, -1, 1) * 32767).astype(np.int32)
+    assert np.abs(q - p16).max() <= 1                # ≤1 int16 LSB
+    assert sizes0 != sizes2                  # boundaries really moved
+    # the phase chunk is one-time: steady-state cadence returns to c
+    spf = decoder.cfg.samples_per_frame
+    assert sizes2[1] == (4 + 2) * spf        # second chunk carries +phase
+    assert sizes2[2] == 4 * spf              # back to frames_per_chunk

@@ -288,6 +288,13 @@ class StreamConfig:
     # sample-exact vs batch decode (SURVEY.md §7.3).
     left_context_frames: int = 6
     extraction: str = "first_sos"    # or "last_sos"
+    # De-phase concurrent streams' chunk cadence: the scheduler gives slot
+    # i a one-time (i % frames_per_chunk)-frame phase on its SECOND chunk,
+    # so burst-admitted streams stop vocoding on the same tick — the
+    # synchronized vocode burst set the worst inter-chunk gap at the
+    # capacity frontier (PERF.md round 5). Emitted bytes are unchanged
+    # (windowed decode is chunk-boundary independent, test-enforced).
+    stagger_chunks: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -789,6 +789,11 @@ class Scheduler:
         for slot, req, prompt in batch:
             state = _SlotState(req, self)
             state.prompt_ids = list(prompt)
+            if req.stream_cfg.stagger_chunks:
+                # de-phase this stream's steady-state chunk boundary by its
+                # slot index so burst admissions don't vocode in lockstep
+                state.lookahead.chunk_phase = (
+                    slot % max(1, req.stream_cfg.frames_per_chunk))
             self.slots[slot] = state
             prompts.append(prompt)
             slots_idx.append(slot)

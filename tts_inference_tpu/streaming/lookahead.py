@@ -57,6 +57,13 @@ class LookaheadStreamingDecoder:
     noise_seed: int = 0
     # use the C++ deinterleave (native/tts_runtime.cpp) for window assembly
     use_native: bool = False
+    # one-time extra frames on the SECOND chunk (then back to
+    # frames_per_chunk): the scheduler sets slot % frames_per_chunk here so
+    # concurrently admitted streams chunk on DIFFERENT ticks — the
+    # synchronized vocode burst was the worst-gap driver at the capacity
+    # frontier (PERF.md round 5). Pure cadence change: emitted bytes are
+    # identical (windowed decode is chunk-boundary independent).
+    chunk_phase: int = 0
 
     codes: List[int] = dataclasses.field(default_factory=list, init=False)
     samples_emitted: int = dataclasses.field(default=0, init=False)
@@ -91,7 +98,8 @@ class LookaheadStreamingDecoder:
                 lookahead = self.stream_cfg.first_chunk_lookahead
             stable_frames = self.total_frames - lookahead
             need = (self.stream_cfg.first_chunk_frames if first
-                    else self.stream_cfg.frames_per_chunk)
+                    else self.stream_cfg.frames_per_chunk
+                    + (self.chunk_phase if self.decode_calls == 1 else 0))
             pending = stable_frames - self.samples_emitted // self.spf
             if pending < max(1, need):
                 return None
