@@ -97,9 +97,14 @@ class LookaheadStreamingDecoder:
             if first and self.stream_cfg.first_chunk_lookahead is not None:
                 lookahead = self.stream_cfg.first_chunk_lookahead
             stable_frames = self.total_frames - lookahead
+            # the phase SHRINKS the second chunk (never extends it): a
+            # longer phase-in chunk would itself become the stream's worst
+            # gap — measured at the 24-stream point, +245 ms worst gap the
+            # extend way, see PERF.md round 5
             need = (self.stream_cfg.first_chunk_frames if first
-                    else self.stream_cfg.frames_per_chunk
-                    + (self.chunk_phase if self.decode_calls == 1 else 0))
+                    else max(1, self.stream_cfg.frames_per_chunk
+                             - (self.chunk_phase
+                                if self.decode_calls == 1 else 0)))
             pending = stable_frames - self.samples_emitted // self.spf
             if pending < max(1, need):
                 return None
