@@ -1076,7 +1076,11 @@ class Scheduler:
         ecfg = self.config.engine
         if not (ecfg.paged_kv and ecfg.kv_on_demand):
             return False
-        n = max(self.admission_steps, ecfg.decode_steps_per_call)
+        n = ecfg.decode_steps_per_call
+        if self._backlog or self._held or not self.pending.empty():
+            # an admission launch also decodes every live slot for
+            # admission_steps — size the dry-run to the bigger window
+            n = max(n, self.admission_steps)
         if not self.core.starved_slots(n):
             return False
         self._drain_inflight()
