@@ -483,8 +483,10 @@ def main() -> int:
                          "a real prompt lands in the 32 bucket instead of "
                          "the 128 one byte-fallback ids force (TTFA)")
     ap.add_argument("--vocoder-bf16", action="store_true",
-                    help="SNAC conv stack in bfloat16 (PERF.md round-4 "
-                         "vocoder floor)")
+                    help="SNAC conv stack in bfloat16 — 1.75x faster at the "
+                         "64-row vocode burst, a wash at 8 rows (PERF.md "
+                         "round-5 saturation model; fidelity bound: "
+                         "tools/vocoder_dtype_fidelity.py)")
     ap.add_argument("--chunk-frames", type=int, default=4,
                     help="steady-state frames per vocode chunk (bigger = "
                          "less windowed-redecode overhead, coarser cadence)")

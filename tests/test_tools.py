@@ -136,3 +136,34 @@ def test_aot_compile_spawn(tmp_path):
     assert bi.exists(), log.read_text()[-500:] if log.exists() else "no log"
     meta = json.loads(bi.read_text())
     assert meta["framework"] == "tts_inference_tpu"
+
+
+def test_vocoder_dtype_fidelity_tiny_cpu(capsys):
+    """bf16-vocoder fidelity bound (the --vocoder-bf16 gate): same codes
+    through the f32 and bf16 conv stacks land inside the reference's
+    streaming-quality thresholds (PIPELINE_REPORT.md:513-519)."""
+    from tts_inference_tpu.tools import vocoder_dtype_fidelity as vdf
+
+    assert vdf.main(["--tiny", "--cpu", "--frames", "8",
+                     "--batch", "2"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["pass"] is True
+
+
+@pytest.mark.slow
+def test_measurement_benches_tiny_cpu(capsys):
+    """The round-5 measurement benches (vocode burst bench, lockstep
+    mirroring overhead) run end-to-end on the tiny CPU runtime and emit
+    their JSON contracts."""
+    from tts_inference_tpu.tools import lockstep_overhead, vocode_bench
+
+    assert vocode_bench.main(
+        ["--tiny", "--cpu", "--rows", "2", "--frames", "4",
+         "--iters", "2"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["rows"] == 2 and row["ms_per_call"] > 0
+
+    assert lockstep_overhead.main(["--tiny", "--cpu", "--iters", "20"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mirror_cost_us_per_call" in row
+    assert row["e2e_plain_ms_per_launch"] > 0

@@ -1,19 +1,33 @@
 """Measure the lockstep mirroring cost in the dispatch hot path.
 
 MirroredCore serializes every device-entering EngineCore call to the
-followers (pickle + TCP sendall) UNDER the dispatch lock, before the
-local jitted launch (parallel/lockstep.py). That cost was asserted
-"microseconds" in round 4 but never measured (VERDICT r4 #3b) — this
-tool measures it: the same decode-launch loop with and without a
-MirroredCore wrapping, where the "follower" is a loopback socketpair
-drained by a thread. That isolates exactly what production pays per
-call — handle-table encode, pickle, kernel socket write — without
-needing a second process's chips (SPMD replay itself is covered by
-tests/test_lockstep_serve.py and the driver's multichip dryrun).
+followers (handle-table encode + pickle + TCP sendall) UNDER the
+dispatch lock, before the local jitted launch (parallel/lockstep.py).
+That cost was asserted "microseconds" in round 4 but never measured
+(VERDICT r4 #3b) — this tool measures it two ways:
 
-Reference analog: the reference's multi-GPU story pays its
-coordination cost inside NCCL; here the DCN-level coordination is this
-explicit channel, so it must be shown off the critical path.
+1. **Serialization cost, isolated**: record one representative
+   decode-launch descriptor and time exactly what `mirrored()` adds on
+   the hot path — `_encode` + `pickle.dumps` + `_send` over a loopback
+   socketpair drained by a thread. This is the number that sits under
+   the dispatch lock.
+2. **End-to-end A/B, drift-immune**: the same fetch-every-call decode
+   loop through a plain EngineCore and a MirroredCore, *interleaved*
+   (plain, mirrored, plain, ...) so tunnel/thermal drift cancels, with
+   per-pair deltas summarized by the median. An earlier protocol ran
+   the two modes back-to-back with unfetched launch queues and read
+   queue-throttling + tunnel drift instead of the mirror cost (the
+   round-4 scoreboard lesson: measure paired or measure noise).
+
+The "follower" is a loopback socketpair drained by a thread — exactly
+the bytes production sends, no second process's chips needed (SPMD
+replay correctness is covered by tests/test_lockstep_serve.py and the
+driver's multichip dryrun).
+
+Reference analog: the reference's multi-GPU coordination cost lives
+inside NCCL; here the DCN-level coordination is this explicit channel,
+so it must be shown off the critical path (res.md:69-77 is what happens
+when a coordination channel is load-bearing and unobserved).
 
 Usage:
     python -m tts_inference_tpu.tools.lockstep_overhead            # chip
@@ -24,7 +38,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import pickle
 import socket
+import statistics
 import sys
 import threading
 import time
@@ -40,30 +56,21 @@ def _drain(sock: socket.socket) -> None:
         pass
 
 
-def _bench_launches(core, sp, tok, act, iters: int, fetch: bool = True):
-    """Back-to-back decode launches (no fetches between — the device queue
-    pipelines). fetch=True blocks on the last output (end-to-end wall:
-    device-bound); fetch=False returns after the last dispatch (host
-    dispatch wall: isolates the mirroring cost, which is host-side and
-    serial under the dispatch lock). Returns (wall_s, tok, act) so
-    mirrored/plain runs stay chained off real outputs."""
+def _timed_call(core, sp, tok, act):
+    """One decode launch + fetch of its first output (steady-state cadence:
+    the scheduler fetches every call's tokens before acting on them)."""
     t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = core.decode_steps_launch(sp, tok, act)
-        tok, act = out[1], out[2]
-    if fetch:
-        np.asarray(out[0])
-    wall = time.perf_counter() - t0
-    np.asarray(out[0])      # always settle before the next phase
-    return wall, tok, act
+    out = core.decode_steps_launch(sp, tok, act)
+    np.asarray(out[0])
+    return time.perf_counter() - t0, out[1], out[2]
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--iters", type=int, default=200,
+                    help="A/B pairs for the end-to-end leg")
     ap.add_argument("--followers", type=int, default=1)
     ap.add_argument("--quantize", action="store_true", default=None)
     args = ap.parse_args(argv)
@@ -101,13 +108,7 @@ def main(argv=None) -> int:
     )
     np.asarray(toks0)
 
-    # warm + measure plain
-    _bench_launches(core, sp, tok, act, 8)
-    wall_plain, tok, act = _bench_launches(core, sp, tok, act, args.iters)
-    disp_plain, tok, act = _bench_launches(core, sp, tok, act, args.iters,
-                                           fetch=False)
-
-    # mirrored: loopback followers drained by threads
+    # loopback followers drained by threads
     socks, drains = [], []
     for _ in range(args.followers):
         sa, sb = socket.socketpair()
@@ -116,38 +117,59 @@ def main(argv=None) -> int:
         socks.append(sa)
         drains.append((sb, th))
     mirrored = LS.MirroredCore(core, socks)
-    # register the chained operands so they cross as _Ref like production
     mirrored._table.register_outputs((tok, act))
-    _bench_launches(mirrored, sp, tok, act, 8)
-    wall_mir, tok, act = _bench_launches(mirrored, sp, tok, act, args.iters)
-    disp_mir, tok, act = _bench_launches(mirrored, sp, tok, act, args.iters,
-                                         fetch=False)
+
+    # ---- leg 1: serialization cost, isolated -------------------------------
+    # exactly the hot-path addition under the dispatch lock: handle-table
+    # encode + pickle + sendall of a real decode-launch descriptor
+    table = mirrored._table
+    wire_us = []
+    for _ in range(max(200, args.iters)):
+        t0 = time.perf_counter()
+        desc = pickle.dumps(
+            ("decode_steps_launch",
+             LS._encode(table, (sp, tok, act)),
+             LS._encode(table, {})),
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+        for s in socks:
+            LS._send(s, desc)
+        wire_us.append((time.perf_counter() - t0) * 1e6)
+
+    # ---- leg 2: end-to-end A/B, interleaved --------------------------------
+    for _ in range(8):   # warm both paths
+        _, tok, act = _timed_call(core, sp, tok, act)
+        _, tok, act = _timed_call(mirrored, sp, tok, act)
+    deltas_us, plain_ms = [], []
+    for _ in range(args.iters):
+        a, tok, act = _timed_call(core, sp, tok, act)
+        b, tok, act = _timed_call(mirrored, sp, tok, act)
+        plain_ms.append(a * 1e3)
+        deltas_us.append((b - a) * 1e6)
+
     mirrored.close()
     for sb, th in drains:
         sb.close()
         th.join(timeout=5)
 
-    per_call_plain_ms = wall_plain / args.iters * 1e3
-    per_call_mir_ms = wall_mir / args.iters * 1e3
-    disp_plain_ms = disp_plain / args.iters * 1e3
-    disp_mir_ms = disp_mir / args.iters * 1e3
+    med_plain = statistics.median(plain_ms)
+    med_delta = statistics.median(deltas_us)
     print(json.dumps({
         "config": "tiny" if args.tiny else "full",
         "batch": core.batch,
         "followers": args.followers,
         "iters": args.iters,
-        # host dispatch path only (launch returns, no device wait):
-        # the isolated encode+pickle+sendall cost per mirrored call
-        "dispatch_plain_ms_per_launch": round(disp_plain_ms, 3),
-        "dispatch_mirrored_ms_per_launch": round(disp_mir_ms, 3),
-        "mirror_cost_us_per_call": round(
-            (disp_mir_ms - disp_plain_ms) * 1e3, 1),
-        # end-to-end (device-bound): does the mirror cost hide under the
-        # pipelined device queue?
-        "e2e_plain_ms_per_launch": round(per_call_plain_ms, 3),
-        "e2e_mirrored_ms_per_launch": round(per_call_mir_ms, 3),
-        "e2e_overhead_pct": round(
-            (per_call_mir_ms / per_call_plain_ms - 1.0) * 100.0, 2),
+        "desc_bytes": len(desc),
+        # the isolated hot-path addition (encode+pickle+sendall), which is
+        # what holds the dispatch lock longer under lockstep
+        "mirror_cost_us_per_call": round(statistics.median(wire_us), 1),
+        "mirror_cost_us_p95": round(
+            statistics.quantiles(wire_us, n=20)[18], 1),
+        # paired end-to-end: launch+fetch through MirroredCore minus plain,
+        # same tick interleaved (tunnel drift cancels)
+        "e2e_plain_ms_per_launch": round(med_plain, 3),
+        "e2e_delta_us_median": round(med_delta, 1),
+        "e2e_overhead_pct": round(med_delta / 10.0 / med_plain, 2),
     }))
     return 0
 
