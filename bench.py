@@ -105,6 +105,7 @@ def sampling_for(tokens: int, seed: int):
 
 
 CHUNK_FRAMES = 4   # steady-state frames per vocode chunk (--chunk-frames)
+STAGGER_CHUNKS = True   # de-phase concurrent streams' chunk boundaries
 
 
 def stream_cfg(first_lookahead=None, chunk=None):
@@ -119,7 +120,8 @@ def stream_cfg(first_lookahead=None, chunk=None):
     return StreamConfig(frames_per_chunk=int(chunk or CHUNK_FRAMES),
                         first_chunk_frames=1,
                         lookahead_frames=3, left_context_frames=6,
-                        first_chunk_lookahead=first_lookahead)
+                        first_chunk_lookahead=first_lookahead,
+                        stagger_chunks=STAGGER_CHUNKS)
 
 
 TEXT = "The quick brown fox jumps over the lazy dog near the river bank."
@@ -495,10 +497,20 @@ def main() -> int:
                          "configs measured in ONE boot (e.g. "
                          "'14:2,21:2,28:3'); per-config JSON to stderr, "
                          "best to stdout")
+    ap.add_argument("--no-stagger", dest="stagger", action="store_false",
+                    help="disable chunk-boundary de-phasing "
+                         "(StreamConfig.stagger_chunks). Stagger is the "
+                         "capacity-frontier lever (worst-gap -28%% at 32 "
+                         "streams) but SPLITS the lockstep 64-slot burst "
+                         "into launch-bound small vocode calls — the "
+                         "batch-record config wants it off (PERF.md "
+                         "round-5 saturation model)")
+    ap.set_defaults(stagger=True)
     ap.add_argument("--json-extra", action="store_true")
     args = ap.parse_args()
-    global CHUNK_FRAMES
+    global CHUNK_FRAMES, STAGGER_CHUNKS
     CHUNK_FRAMES = args.chunk_frames
+    STAGGER_CHUNKS = args.stagger
     if args.virtual_devices:
         import os
 
