@@ -145,6 +145,36 @@ def test_unregistered_array_falls_back_to_value():
     assert isinstance(dec[0], jax.Array)
 
 
+def test_repeated_operand_wire_value_is_memoized():
+    """A repeated input operand (the same SamplingParams arrays every
+    decode call) is fetched from device ONCE: the second encode returns
+    the identical cached _JnpVal. Without this, every mirrored call paid
+    one blocking device round-trip per operand array — measured +45 ms
+    per launch over the tunnel against a 132 µs wire cost (PERF.md
+    round-5 lockstep overhead)."""
+    import jax.numpy as jnp
+
+    from tts_inference_tpu.parallel import lockstep as LS
+
+    tab = LS._HandleTable(window=2)
+    a = jnp.full(3, 2.5)
+    w1 = LS._encode(tab, (a,))[0]
+    w2 = LS._encode(tab, (a,))[0]
+    assert w1 is w2                       # memoized, no second fetch
+    # a REGISTERED output still encodes as a _Ref, never by value
+    tab.register_outputs((a,))
+    assert isinstance(LS._encode(tab, (a,))[0], LS._Ref)
+    # eviction: pushing past the window (2) drops the oldest cached value
+    d = jnp.full(3, 7.0)   # a fresh unregistered operand
+    w_d = LS._encode(tab, (d,))[0]
+    b, c = jnp.zeros(2), jnp.ones(2)
+    LS._encode(tab, (b,))
+    LS._encode(tab, (c,))                 # window full -> d evicted
+    w_d2 = LS._encode(tab, (d,))[0]
+    assert w_d2 is not w_d                # re-fetched after eviction
+    np.testing.assert_allclose(w_d2.val, 7.0)
+
+
 def test_mirrored_core_replays_on_follower():
     """In-process mirror: a coordinator MirroredCore over a socketpair and
     a follower EngineCore replaying it produce identical tokens."""

@@ -155,6 +155,15 @@ class _HandleTable:
         self._hid_of: dict = {}                       # id(array) -> hid
         self._arr_of: dict = {}                       # hid -> array
         self._next = 0
+        # by-value wire cache for REPEATED input operands (e.g. the same
+        # SamplingParams arrays every decode call). jax arrays are
+        # immutable, so identity-keying is sound; the deque holds strong
+        # refs, which also keeps the keyed ids from being reused. Without
+        # this, every mirrored call paid one blocking device fetch (a
+        # full tunnel round-trip) PER operand array — measured +45 ms
+        # per launch (+62%) against a 132 µs wire cost.
+        self._val_cache: deque = deque(maxlen=window)  # (id, array, wire)
+        self._wire_of: dict = {}                       # id(array) -> _JnpVal
 
     def register_outputs(self, out) -> None:
         import jax
@@ -177,6 +186,16 @@ class _HandleTable:
     def lookup(self, hid: int):
         return self._arr_of[hid]
 
+    def wire_val(self, arr) -> Optional["_JnpVal"]:
+        return self._wire_of.get(id(arr))
+
+    def cache_wire_val(self, arr, wire: "_JnpVal") -> None:
+        if len(self._val_cache) == self._val_cache.maxlen:
+            old_id, _old_arr, _old_wire = self._val_cache[0]
+            self._wire_of.pop(old_id, None)
+        self._val_cache.append((id(arr), arr, wire))
+        self._wire_of[id(arr)] = wire
+
 
 def _encode(table: _HandleTable, obj):
     """Deep-copy obj with jax.Array leaves replaced by _Ref / numpy."""
@@ -188,10 +207,18 @@ def _encode(table: _HandleTable, obj):
             hid = table.hid_for(x)
             if hid is not None:
                 return _Ref(hid)
-            # not a mirrored output: must be a host-built operand — fetch.
-            # (Replicated or locally-addressable arrays only; anything else
-            # would mean an unmirrored mesh computation leaked through.)
-            return _JnpVal(np.asarray(x))
+            # not a mirrored output: must be a host-built operand — ship
+            # by value. (Replicated or locally-addressable arrays only;
+            # anything else would mean an unmirrored mesh computation
+            # leaked through.) The fetch is a blocking device round-trip,
+            # so repeated operands (immutable jax arrays, identity-keyed)
+            # are memoized — only an operand's FIRST send pays it.
+            cached = table.wire_val(x)
+            if cached is not None:
+                return cached
+            wire = _JnpVal(np.asarray(x))
+            table.cache_wire_val(x, wire)
+            return wire
         return x
 
     return jax.tree_util.tree_map(enc, obj)
