@@ -90,7 +90,10 @@ def main(argv=None) -> int:
 
     cfg = tiny_config() if args.tiny else Config()
     quantize = (not args.tiny) if args.quantize is None else args.quantize
-    params = llama.init_llama_params(jax.random.PRNGKey(0), cfg.model)
+    # one jit around the whole init — eager per-tensor inits cost ~2.8 s of
+    # tunnel round-trips EACH on the full model (PERF.md round-4 boot anatomy)
+    params = jax.jit(llama.init_llama_params, static_argnums=(1,))(
+        jax.random.PRNGKey(0), cfg.model)
     if quantize:
         params = quantize_llama_params(params, bits=8)
     core = EngineCore(params, cfg.model, cfg.engine,
